@@ -1,0 +1,248 @@
+"""Deterministic synthetic-observation generators.
+
+Reproduces the reference's data model exactly — same formulas and the same
+glibc rand() draw order (app/common/init.cpp:4-222), seeded like
+``srand(0)`` (tests/gridder_common.cpp:88) — so our synthetic observations
+match the reference binaries' in distribution (and, draw-for-draw, in value).
+
+Layout note: the reference's correctness harness allocates uvw/visibilities
+with **nr_subgrids** rows of T timesteps (tests/gridder_common.cpp:72-74) and
+metadata time_offsets that index that flat layout as ``s*T``
+(init.cpp:134-159). We keep that convention: axis 0 of uvw/visibilities is the
+subgrid axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import (
+    FREQUENCY_INCREMENT,
+    IDGParams,
+    SPEED_OF_LIGHT,
+    START_FREQUENCY,
+)
+from .crand import CRand
+from .types import Metadata, Observation
+
+try:  # accelerated native generator (optional)
+    from .native import crand_uniform_array as _native_uniform
+except Exception:  # pragma: no cover - native lib absent
+    _native_uniform = None
+
+
+def compute_l(x, subgrid_size: int, image_size: float):
+    """Direction cosine of pixel column x (app/common/math.hpp:9-13)."""
+    return (x + 0.5 - (subgrid_size // 2)) * image_size / subgrid_size
+
+
+def compute_m(y, subgrid_size: int, image_size: float):
+    return compute_l(y, subgrid_size, image_size)
+
+
+def compute_n(l, m):
+    """Stable n = 1 - sqrt(1 - l² - m²) (app/common/math.hpp:16-22)."""
+    tmp = l * l + m * m
+    return np.where(tmp > 1.0, 1.0, tmp / (1.0 + np.sqrt(np.maximum(0.0, 1.0 - tmp))))
+
+
+def initialize_uvw(rng: CRand, grid_size: int, nr_rows: int, nr_timesteps: int) -> np.ndarray:
+    """Elliptical uv tracks, w=0 (init.cpp:4-25). Returns f32[nr_rows, T, 3]."""
+    half = grid_size // 2
+    radii = half + rng.uniform_array(2 * nr_rows).reshape(nr_rows, 2) * half
+    time = np.arange(nr_timesteps, dtype=np.float64)
+    angle = (time + 0.5) / (np.float32(360.0) / nr_timesteps)
+    uvw = np.zeros((nr_rows, nr_timesteps, 3), dtype=np.float64)
+    uvw[:, :, 0] = radii[:, 0:1] * np.cos(angle * np.pi)[None, :]
+    uvw[:, :, 1] = radii[:, 1:2] * np.sin(angle * np.pi)[None, :]
+    return uvw.astype(np.float32)
+
+
+def initialize_frequencies(nr_channels: int) -> np.ndarray:
+    """150 MHz + 0.7 MHz/channel (init.cpp:27-36)."""
+    return (START_FREQUENCY + FREQUENCY_INCREMENT * np.arange(nr_channels)).astype(np.float32)
+
+
+def initialize_wavenumbers(frequencies: np.ndarray) -> np.ndarray:
+    """k = 2π f / c (init.cpp:38-46)."""
+    return (2.0 * np.pi * frequencies.astype(np.float64) / SPEED_OF_LIGHT).astype(np.float32)
+
+
+def initialize_visibilities(
+    grid_size: int, image_size: float, frequencies: np.ndarray, uvw: np.ndarray
+) -> np.ndarray:
+    """Analytic point source at (0.6, 0.7)·grid offsets (init.cpp:48-79).
+
+    Returns c64[rows, T, C, 4] with the per-pol 1.01/1.02/1.03/1.04 scaling.
+    """
+    l = 0.6 * grid_size * image_size / grid_size
+    m = 0.7 * grid_size * image_size / grid_size
+    freq = frequencies.astype(np.float64) / SPEED_OF_LIGHT
+    u = freq[None, None, :] * uvw[:, :, 0:1].astype(np.float64)
+    v = freq[None, None, :] * uvw[:, :, 1:2].astype(np.float64)
+    value = np.exp(-2j * np.pi * (u * l + v * m))
+    pol_scale = np.array([1.01, 1.02, 1.03, 1.04], dtype=np.float64)
+    return (value[..., None] * pol_scale).astype(np.complex64)
+
+
+def initialize_baselines(nr_stations: int, nr_baselines: int) -> np.ndarray:
+    """All station pairs (s1 < s2), row-major (init.cpp:81-95). i32[B, 2]."""
+    pairs = [
+        (s1, s2)
+        for s1 in range(nr_stations)
+        for s2 in range(s1 + 1, nr_stations)
+    ][:nr_baselines]
+    return np.asarray(pairs, dtype=np.int32).reshape(nr_baselines, 2)
+
+
+def initialize_spheroidal(subgrid_size: int) -> np.ndarray:
+    """Separable |x|·|y| taper (init.cpp:97-107). f32[N, N]."""
+    t = np.abs(-1.0 + np.arange(subgrid_size, dtype=np.float64) * 2.0 / subgrid_size)
+    return (t[:, None] * t[None, :]).astype(np.float32)
+
+
+def initialize_aterms(
+    rng: CRand, spheroidal: np.ndarray, nr_timeslots: int, nr_stations: int
+) -> np.ndarray:
+    """Spheroidal-scaled random Jones terms (init.cpp:109-132).
+
+    Returns c64[nr_timeslots, nr_stations, N, N, 4] in xx,xy,yx,yy order.
+    """
+    n = spheroidal.shape[0]
+    count = nr_timeslots * nr_stations * n * n
+    scale = 0.8 + rng.uniform_array(count).reshape(nr_timeslots, nr_stations, n, n) * 0.4
+    value = spheroidal[None, None, :, :].astype(np.float64) * scale
+    aterms = np.empty((nr_timeslots, nr_stations, n, n, 4), dtype=np.complex64)
+    aterms[..., 0] = value + 0.1 - 0.1j
+    aterms[..., 1] = value - 0.2 + 0.1j
+    aterms[..., 2] = value - 0.2 + 0.1j
+    aterms[..., 3] = value + 0.1 - 0.1j
+    return aterms
+
+
+def initialize_metadata(
+    rng: CRand,
+    grid_size: int,
+    nr_timeslots: int,
+    nr_timesteps_subgrid: int,
+    baselines: np.ndarray,
+) -> Metadata:
+    """Per-subgrid metadata with random subgrid coordinates (init.cpp:134-159)."""
+    nr_baselines = baselines.shape[0]
+    nr_subgrids = nr_baselines * nr_timeslots
+    coords = rng.uniform_array(2 * nr_subgrids).reshape(nr_subgrids, 2) * grid_size
+    coords = coords.astype(np.int32)  # C truncation toward zero (values >= 0)
+    bl_idx = np.repeat(np.arange(nr_baselines, dtype=np.int32), nr_timeslots)
+    ts_idx = np.tile(np.arange(nr_timeslots, dtype=np.int32), nr_baselines)
+    time_offset = (
+        bl_idx.astype(np.int64) * nr_timeslots * nr_timesteps_subgrid
+        + ts_idx.astype(np.int64) * nr_timesteps_subgrid
+    ).astype(np.int32)
+    zeros = np.zeros(nr_subgrids, dtype=np.int32)
+    return Metadata(
+        time_offset=time_offset,
+        nr_timesteps=np.full(nr_subgrids, nr_timesteps_subgrid, dtype=np.int32),
+        aterm_index=zeros,
+        station1=baselines[bl_idx, 0],
+        station2=baselines[bl_idx, 1],
+        coord_x=coords[:, 0],
+        coord_y=coords[:, 1],
+        coord_z=zeros,
+    )
+
+
+def initialize_subgrids(
+    nr_subgrids: int, nr_correlations: int, subgrid_size: int
+) -> np.ndarray:
+    """Deterministic ramp pattern (init.cpp:161-180). c64[S, P, N, N]."""
+    y, x = np.meshgrid(
+        np.arange(subgrid_size), np.arange(subgrid_size), indexing="ij"
+    )
+    real = (y * subgrid_size + x + 1) / (100.0 * subgrid_size * subgrid_size)
+    imag = np.arange(nr_correlations, dtype=np.float64) / 10.0
+    sub = real[None, :, :] + 1j * imag[:, None, None]
+    return np.broadcast_to(sub, (nr_subgrids, nr_correlations, subgrid_size, subgrid_size)).astype(np.complex64)
+
+
+def make_observation(params: IDGParams, seed: int = 0, include_subgrids: bool = False):
+    """Build a full synthetic observation with the reference's srand(0) draw
+    order (tests/gridder_common.cpp:88-101): uvw, frequencies, wavenumbers,
+    visibilities, baselines, spheroidal, aterms, metadata.
+
+    Returns (Observation, subgrids_or_None).
+    """
+    rng = CRand(seed)
+    S, T = params.nr_subgrids, params.nr_timesteps_subgrid
+    uvw = initialize_uvw(rng, params.grid_size, S, T)
+    frequencies = initialize_frequencies(params.nr_channels)
+    wavenumbers = initialize_wavenumbers(frequencies)
+    visibilities = initialize_visibilities(
+        params.grid_size, params.image_size, frequencies, uvw
+    )
+    baselines = initialize_baselines(params.nr_stations, params.nr_baselines)
+    spheroidal = initialize_spheroidal(params.subgrid_size)
+    aterms = initialize_aterms(
+        rng, spheroidal, params.nr_timeslots, params.nr_stations
+    )
+    metadata = initialize_metadata(
+        rng, params.grid_size, params.nr_timeslots, T, baselines
+    )
+    obs = Observation(
+        uvw=uvw,
+        wavenumbers=wavenumbers,
+        visibilities=visibilities,
+        spheroidal=spheroidal,
+        aterms=aterms,
+        metadata=metadata,
+    )
+    subgrids = None
+    if include_subgrids:
+        subgrids = initialize_subgrids(S, params.nr_correlations, params.subgrid_size)
+    return obs, subgrids
+
+
+def make_perf_observation(params: IDGParams, seed: int = 0) -> Observation:
+    """Performance-mode inputs.
+
+    The reference times kernels on *uninitialized device memory* except for
+    metadata (app/CUDA/util.cpp:204-231). We need defined values on TPU, so we
+    use cheap deterministic fills with realistic magnitudes; metadata is
+    generated with the same draws the reference makes in perf mode
+    (initialize_baselines + initialize_metadata only).
+    """
+    rng = CRand(seed)
+    baselines = initialize_baselines(params.nr_stations, params.nr_baselines)
+    metadata = initialize_metadata(
+        rng, params.grid_size, params.nr_timeslots, params.nr_timesteps_subgrid, baselines
+    )
+    S, T, C, P = (
+        params.nr_subgrids,
+        params.nr_timesteps_subgrid,
+        params.nr_channels,
+        params.nr_correlations,
+    )
+    # Cheap structured fills (no giant host RNG): uv on a coarse ellipse.
+    t = np.arange(T, dtype=np.float32) / T
+    uvw = np.zeros((S, T, 3), dtype=np.float32)
+    radius = (params.grid_size // 2) * (1.0 + ((np.arange(S) % 97) / 97.0)).astype(np.float32)
+    uvw[:, :, 0] = radius[:, None] * np.cos(2 * np.pi * t)[None, :]
+    uvw[:, :, 1] = radius[:, None] * np.sin(2 * np.pi * t)[None, :]
+    frequencies = initialize_frequencies(C)
+    wavenumbers = initialize_wavenumbers(frequencies)
+    phase = (np.arange(S * T * C * P).reshape(S, T, C, P) % 251).astype(np.float32) * 0.025
+    visibilities = (np.cos(phase) + 1j * np.sin(phase)).astype(np.complex64)
+    spheroidal = initialize_spheroidal(params.subgrid_size)
+    n = params.subgrid_size
+    aterms = np.ones(
+        (params.nr_timeslots, params.nr_stations, n, n, P), dtype=np.complex64
+    )
+    aterms[..., 1] = 0.25 + 0.1j
+    aterms[..., 2] = 0.25 - 0.1j
+    return Observation(
+        uvw=uvw,
+        wavenumbers=wavenumbers,
+        visibilities=visibilities,
+        spheroidal=spheroidal,
+        aterms=aterms,
+        metadata=metadata,
+    )

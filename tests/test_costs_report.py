@@ -1,0 +1,70 @@
+"""Cost models (app/common/common.cpp:100-159) and reporters (:27-98)."""
+
+import os
+
+import numpy as np
+
+from idg_tpu import IDGParams
+from idg_tpu.utils import bytes_gridder, flops_gridder, report, report_csv, workload_costs
+
+
+def test_flops_formula():
+    # flops/vis = 5+5 + 2C + 8CP; plus 6 per subgrid pixel
+    C, P, N = 16, 4, 32
+    nr_timesteps, nr_subgrids = 1000, 10
+    expected = nr_timesteps * N * N * (10 + 2 * C + 8 * C * P) + nr_subgrids * N * N * 6
+    assert flops_gridder(C, nr_timesteps, nr_subgrids, N, P) == expected
+
+
+def test_bytes_formula():
+    C, P, N = 16, 4, 32
+    nr_timesteps, nr_subgrids = 1000, 10
+    expected = (
+        nr_timesteps * (3 * 4 + C * P * 2 * 4)
+        + nr_subgrids * N * N * (2 * P * 2 * 4 + 2 * P * 2 * 4 + 4)
+    )
+    assert bytes_gridder(C, nr_timesteps, nr_subgrids, N, P) == expected
+
+
+def test_default_workload_matches_reference_aggregates():
+    """At perf defaults: ~50.18 MVis per pass (BASELINE.md derivation)."""
+    p = IDGParams()
+    gflops, gbytes, mvis = workload_costs(p)
+    assert abs(mvis - 50.176) < 0.01
+    assert gflops / gbytes == np.float32(gflops / gbytes)  # finite
+    # arithmetic intensity ~359 FLOP/byte, as in every committed CSV
+    assert abs(gflops / gbytes - 359.08) < 0.5
+
+
+def test_report_console(capsys):
+    report("gridder_v1", 0.5, gflops=100.0, gbytes=10.0, mvis=50.0)
+    out = capsys.readouterr().out
+    assert "500.00 ms" in out
+    assert "200.00 GFLOP/s" in out
+    assert "20.00 GB/s" in out
+    assert "10.00 FLOP/Byte" in out
+    assert "100.00 MVis/s" in out
+
+
+def test_report_csv(tmp_path):
+    path = report_csv(
+        "gridder_v1",
+        "TPU v5 lite",
+        "-tpu.csv",
+        0.5,
+        gflops=100.0,
+        gbytes=10.0,
+        mvis=50.0,
+        output_path=str(tmp_path),
+    )
+    assert path is not None and os.path.exists(path)
+    assert os.path.basename(path) == "TPU-v5-lite-gridder_v1-tpu.csv"
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "ms,500.00"
+    assert "GFLOP/s,200.00" in lines
+    assert "MVis/s,100.00" in lines
+
+
+def test_report_csv_missing_device(capsys, tmp_path):
+    assert report_csv("g", "", "-tpu.csv", 0.5, output_path=str(tmp_path)) is None
+    assert "not provided" in capsys.readouterr().out
