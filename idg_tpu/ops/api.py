@@ -1,0 +1,60 @@
+"""Public kernel-run API: host-boundary complex↔split conversion + jit.
+
+Device kernels are complex-free (split f32 pairs); this module is the one
+place the conversion happens. Tests, the CLI, and the benchmark harness all
+go through here.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import numpy as np
+
+from ..config import IDGParams
+from ..types import (
+    Observation,
+    SplitObservation,
+    combine_complex,
+    split_complex,
+    split_observation,
+)
+from .registry import get_kernel
+
+
+@lru_cache(maxsize=None)
+def _jitted(workload: str, version: str):
+    fn = get_kernel(workload, version).fn
+    return jax.jit(fn, static_argnums=0)
+
+
+def run_gridder(
+    params: IDGParams, obs: Observation, version: str = "xla_v2"
+) -> np.ndarray:
+    """Run a gridder kernel; returns c64[S, P, N, N] (host)."""
+    sobs = split_observation(obs)
+    re, im = _jitted("gridder", version)(params, sobs)
+    return combine_complex(np.asarray(re), np.asarray(im))
+
+
+def run_degridder(
+    params: IDGParams, obs: Observation, subgrids, version: str = "xla_v2"
+) -> np.ndarray:
+    """Run a degridder kernel; returns c64[S, T, C, P] (host)."""
+    sobs = split_observation(obs)
+    sub_pair = split_complex(subgrids)
+    re, im = _jitted("degridder", version)(params, sobs, sub_pair)
+    return combine_complex(np.asarray(re), np.asarray(im))
+
+
+def staged_runner(workload: str, version: str, params: IDGParams, obs: Observation, subgrids=None):
+    """For benchmarking: returns (fn, args) with inputs staged on device so
+    the timed call contains only device work (the reference times bare
+    kernel launches the same way, app/CUDA/util.cpp:109-126)."""
+    sobs = jax.device_put(split_observation(obs))
+    jit_fn = _jitted(workload, version)
+    if workload == "gridder":
+        return jit_fn, (params, sobs)
+    sub_pair = jax.device_put(split_complex(subgrids))
+    return jit_fn, (params, sobs, sub_pair)

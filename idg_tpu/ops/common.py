@@ -1,0 +1,132 @@
+"""Shared device-kernel math (jax.numpy, complex-free).
+
+The TPU analogue of the reference's device math header (app/CUDA/math.cuh,
+app/common/math.hpp): l/m/n grids, per-subgrid uv offsets, time-axis gathers
+driven by metadata, and Jones/taper staging — all on split-complex (re, im)
+f32 pairs (see ops/complexpair.py for why).
+
+Numerical design (TPU-first, differs from the reference on purpose):
+the phase split  phase = phase_offset − phase_index·k  has a large
+subgrid-constant part: phase_offset = u_off·l + v_off·m + w_off·n can reach
+~1.6e3 radians, which costs ~1e-4 rad of f32 sincos accuracy. But
+  u_off·l_x = 2π · ix · (x + 0.5 − N/2) / N,   ix = coord_x + N/2 − G/2 ∈ ℤ
+so (for the w=0 part) phase_offset mod 2π is EXACTLY
+  π · ((ix·(2x−N+1) + iy·(2y−N+1)) mod 2N) / N.
+We reduce it in integer arithmetic and keep every f32 sincos argument small
+(|phase_index·k| ≲ 35 rad at reference scales), making our f32 kernels *more*
+accurate than the reference's GPU kernels (which pay the full-magnitude f32
+sincos error and rely on the CPU oracle making the same correlated error).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import IDGParams
+from ..types import Metadata, SplitObservation
+from .complexpair import Pair, apply_aterm_degridder, apply_aterm_gridder, cscale
+
+TWO_PI = 2.0 * jnp.pi
+
+
+def lmn_grids(subgrid_size: int, image_size: float):
+    """l[N] (x axis), m[N] (y axis), n[N(y), N(x)] in f32 (math.hpp:9-24)."""
+    xy = jnp.arange(subgrid_size, dtype=jnp.float32)
+    l = (xy + jnp.float32(0.5) - subgrid_size // 2) * jnp.float32(
+        image_size / subgrid_size
+    )
+    m = l
+    tmp = l[None, :] ** 2 + m[:, None] ** 2
+    n = jnp.where(
+        tmp > 1.0, 1.0, tmp / (1.0 + jnp.sqrt(jnp.maximum(0.0, 1.0 - tmp)))
+    ).astype(jnp.float32)
+    return l, m, n
+
+
+def phase_offset_exact(params: IDGParams, metadata: Metadata):
+    """Subgrid-constant phase offset, reduced mod 2π exactly.
+
+    Returns f32[S, N, N] (y, x). Covers the u/v part via integer arithmetic;
+    the w part (zero at the reference's W_STEP=0) is added in f32 after its
+    own mod-2π reduction.
+    """
+    N, G = params.subgrid_size, params.grid_size
+    ix = metadata.coord_x.astype(jnp.int32) + (N // 2 - G // 2)
+    iy = metadata.coord_y.astype(jnp.int32) + (N // 2 - G // 2)
+    span = 2 * jnp.arange(N, dtype=jnp.int32) - (N - 1)  # 2x − N + 1
+    q = ix[:, None, None] * span[None, None, :] + iy[:, None, None] * span[None, :, None]
+    q = jnp.remainder(q, 2 * N)
+    po = q.astype(jnp.float32) * jnp.float32(jnp.pi / N)
+    if params.w_step != 0.0:
+        _, _, n = lmn_grids(N, params.image_size)
+        w_off = TWO_PI * params.w_step * (metadata.coord_z.astype(jnp.float32) + 0.5)
+        w_off = jnp.remainder(w_off, jnp.float32(TWO_PI))
+        po = po + w_off[:, None, None] * n[None, :, :]
+    return po
+
+
+def gather_time(flat, time_offset, nr_timesteps: int):
+    """[S, T, ...] gather of a flat time axis via metadata offsets.
+
+    Matches the reference's ``uvw[time_offset + time]`` indexing
+    (gridder_reference.cpp:55-58); a pure reshape in the standard layout.
+    """
+    idx = time_offset[:, None].astype(jnp.int32) + jnp.arange(
+        nr_timesteps, dtype=jnp.int32
+    )
+    return jnp.take(flat, idx, axis=0)
+
+
+def gather_jones(sobs: SplitObservation, metadata: Metadata):
+    """Per-subgrid station Jones pairs: (a1, a2), each ([S,N,N,4], [S,N,N,4])."""
+    a1 = (
+        sobs.at_re[metadata.aterm_index, metadata.station1],
+        sobs.at_im[metadata.aterm_index, metadata.station1],
+    )
+    a2 = (
+        sobs.at_re[metadata.aterm_index, metadata.station2],
+        sobs.at_im[metadata.aterm_index, metadata.station2],
+    )
+    return a1, a2
+
+
+def phase_index(uvw, l, m, n):
+    """phase_index[..., T, N, N] = u·l + v·m + w·n from uvw[..., T, 3]
+    (gridder_reference.cpp:61)."""
+    return (
+        uvw[..., 0, None, None] * l[None, None, :]
+        + uvw[..., 1, None, None] * m[None, :, None]
+        + uvw[..., 2, None, None] * n[None, :, :]
+    )
+
+
+def finish_gridder(pixels: Pair, a1: Pair, a2: Pair, spheroidal) -> Pair:
+    """Jones correction + spheroidal taper on accumulated pixels.
+
+    pixels/a1/a2: pairs of f32[..., N, N, 4]; spheroidal f32[N, N].
+    Returns pair of f32[..., 4, N, N] (reference subgrid layout, pol-major).
+    """
+    corrected = apply_aterm_gridder(pixels, a1, a2)
+    corrected = cscale(corrected, spheroidal[..., :, :, None])
+    return tuple(jnp.moveaxis(c, -1, -3) for c in corrected)
+
+
+def prepare_degridder_pixels(subgrids: Pair, a1: Pair, a2: Pair, spheroidal) -> Pair:
+    """Taper + Jones staging of the degridder input
+    (degridder_reference.cpp:35-74). subgrids pair of f32[..., 4, N, N] →
+    pixels pair of f32[..., N, N, 4]."""
+    pixels = tuple(jnp.moveaxis(s, -3, -1) for s in subgrids)
+    pixels = cscale(pixels, spheroidal[..., :, :, None])
+    return apply_aterm_degridder(pixels, a1, a2)
+
+
+def uniform_channel_spacing(wavenumbers) -> bool:
+    """True if wavenumber spacing is uniform to f32 precision (host-side
+    check; the synthetic observations always are, init.cpp:27-46)."""
+    import numpy as np
+
+    k = np.asarray(wavenumbers, dtype=np.float64)
+    if k.size < 3:
+        return True
+    d = np.diff(k)
+    return bool(np.all(np.abs(d - d[0]) <= 1e-6 * np.abs(d[0])))

@@ -1,0 +1,5 @@
+"""Hand-written Pallas TPU kernels (the optimization ladder's upper rungs).
+
+Modules register kernels on import; kernels auto-select interpret mode on
+non-TPU backends so the whole ladder is testable on CPU.
+"""

@@ -92,3 +92,53 @@ class Observation:
         return self.visibilities.reshape(
             -1, self.visibilities.shape[-2], self.visibilities.shape[-1]
         )
+
+
+@_register_pytree
+@dataclasses.dataclass(frozen=True)
+class SplitObservation:
+    """Device-side observation: complex arrays split into f32 re/im planes.
+
+    The TPU compute path is complex-free (split-complex is the idiomatic MXU
+    formulation, and this backend rejects complex64); splitting happens once
+    at the host boundary via `split_observation`.
+    """
+
+    uvw: Any           # f32[S, T, 3]
+    wavenumbers: Any   # f32[C]
+    vis_re: Any        # f32[S, T, C, P]
+    vis_im: Any        # f32[S, T, C, P]
+    spheroidal: Any    # f32[N, N]
+    at_re: Any         # f32[ts, stations, N, N, P]
+    at_im: Any         # f32[ts, stations, N, N, P]
+    metadata: Metadata
+
+
+def split_observation(obs: Observation) -> SplitObservation:
+    """Host-side complex → split-f32 conversion (NumPy; outside jit)."""
+    vis = np.asarray(obs.visibilities)
+    at = np.asarray(obs.aterms)
+    return SplitObservation(
+        uvw=np.asarray(obs.uvw, np.float32),
+        wavenumbers=np.asarray(obs.wavenumbers, np.float32),
+        vis_re=np.ascontiguousarray(vis.real, dtype=np.float32),
+        vis_im=np.ascontiguousarray(vis.imag, dtype=np.float32),
+        spheroidal=np.asarray(obs.spheroidal, np.float32),
+        at_re=np.ascontiguousarray(at.real, dtype=np.float32),
+        at_im=np.ascontiguousarray(at.imag, dtype=np.float32),
+        metadata=obs.metadata,
+    )
+
+
+def split_complex(x):
+    """(re, im) f32 NumPy pair from a complex array (host side)."""
+    x = np.asarray(x)
+    return (
+        np.ascontiguousarray(x.real, dtype=np.float32),
+        np.ascontiguousarray(x.imag, dtype=np.float32),
+    )
+
+
+def combine_complex(re, im) -> np.ndarray:
+    """Host-side pair → complex64."""
+    return np.asarray(re, np.float32) + 1j * np.asarray(im, np.float32)
