@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: gridder throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline anchor = the reference's only published gridder number: CUDA
+gridder_reference on a Tesla V100 at default perf parameters, 42.93 MVis/s
+(BASELINE.md; res/gridder/Tesla_V100-PCIE-32GB-gridder_reference-cuda.csv).
+
+Env knobs: BENCH_KERNEL (registry version; default = fastest available),
+NR_ITERATIONS / NR_WARM_UP_RUNS, and the reference's problem-size vars
+(GRID_SIZE, NR_STATIONS, ...).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+# Persistent compile cache: first compiles on the tunneled TPU platform take
+# minutes; cache them across processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
+
+V100_GRIDDER_REFERENCE_MVIS_S = 42.93
+
+
+def main() -> None:
+    from idg_tpu import HarnessConfig, IDGParams, make_perf_observation
+    from idg_tpu.ops.api import staged_runner
+    from idg_tpu.ops.registry import list_kernels
+    from idg_tpu.utils.costs import workload_costs
+    from idg_tpu.utils.timing import time_kernel
+
+    params = IDGParams.from_env()
+    harness = HarnessConfig(
+        nr_warm_up_runs=int(os.environ.get("NR_WARM_UP_RUNS", 1)),
+        nr_iterations=int(os.environ.get("NR_ITERATIONS", 3)),
+    )
+
+    version = os.environ.get("BENCH_KERNEL")
+    if not version:
+        versions = [e.version for e in list_kernels("gridder")]
+        for pick in ("pallas_v4", "pallas_v3", "xla_v4", "xla_v2"):
+            if pick in versions:
+                version = pick
+                break
+
+    obs = make_perf_observation(params)
+    fn, args = staged_runner("gridder", version, params, obs)
+    timing = time_kernel(fn, *args, harness=harness)
+    _, _, mvis = workload_costs(params)
+    mvis_per_s = mvis / timing.seconds
+
+    print(
+        json.dumps(
+            {
+                "metric": f"gridder_{version}_throughput",
+                "value": round(mvis_per_s, 2),
+                "unit": "MVis/s",
+                "vs_baseline": round(
+                    mvis_per_s / V100_GRIDDER_REFERENCE_MVIS_S, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,6 +120,58 @@ def prepare_degridder_pixels(subgrids: Pair, a1: Pair, a2: Pair, spheroidal) -> 
     return apply_aterm_degridder(pixels, a1, a2)
 
 
+def phase_offset_parts(params: IDGParams, metadata: Metadata):
+    """Separable split of the exact phase offset: po ≡ po_x[s,x] + po_y[s,y]
+    (mod 2π), each part reduced mod 2π in integer arithmetic.
+
+    e^{i·po} = e^{i·po_x}·e^{i·po_y} regardless of where the mod falls, so
+    this factorization is exact — the basis of the separable-phasor kernels.
+    The w_step part (w_off·n) is NOT included here; it rides in the same
+    low-rank n-expansion as the w·k·n phase (see `w_offset_scalar`).
+    """
+    N, G = params.subgrid_size, params.grid_size
+    ix = metadata.coord_x.astype(jnp.int32) + (N // 2 - G // 2)
+    iy = metadata.coord_y.astype(jnp.int32) + (N // 2 - G // 2)
+    span = 2 * jnp.arange(N, dtype=jnp.int32) - (N - 1)  # 2x − N + 1
+    qx = jnp.remainder(ix[:, None] * span[None, :], 2 * N)
+    qy = jnp.remainder(iy[:, None] * span[None, :], 2 * N)
+    scale = jnp.float32(jnp.pi / N)
+    return qx.astype(jnp.float32) * scale, qy.astype(jnp.float32) * scale
+
+
+def w_offset_scalar(params: IDGParams, metadata: Metadata):
+    """Per-subgrid w offset 2π·w_step·(z+0.5) (gridder_reference.cpp:38),
+    f32[S]. Zero at the reference's compile-time W_STEP=0."""
+    return (
+        jnp.float32(TWO_PI * params.w_step)
+        * (metadata.coord_z.astype(jnp.float32) + 0.5)
+    )
+
+
+def scaled_uvw(uvw, wavenumbers):
+    """Fold channels into uvw: (u·k_c, v·k_c, w·k_c) for every (t, c) —
+    each channel is just a rescaled uvw sample. Returns three f32[..., T·C]
+    arrays (flattened effective-visibility axis)."""
+    k = wavenumbers
+    out = tuple(
+        (uvw[..., :, i, None] * k).reshape(*uvw.shape[:-2], -1)
+        for i in range(3)
+    )
+    return out
+
+
+def n_powers(n, w_rank: int):
+    """[1, n, n²/…] prefactors for the e^{iμ·n} Taylor ranks (f32[N,N] each).
+
+    Rank r term of the separable kernels: (iμ)^r/r! · n^r; the 1/r! lives in
+    the per-visibility coefficient, so powers here are plain n^r.
+    """
+    powers = [jnp.ones_like(n)]
+    for _ in range(1, w_rank):
+        powers.append(powers[-1] * n)
+    return powers
+
+
 def uniform_channel_spacing(wavenumbers) -> bool:
     """True if wavenumber spacing is uniform to f32 precision (host-side
     check; the synthetic observations always are, init.cpp:27-46)."""

@@ -1,0 +1,111 @@
+"""Grid stage: batched subgrid FFT + subgrid<->grid scatter/gather.
+
+The reference benchmark stops at subgrids (the FFT + grid-add lives in
+upstream production IDG, not in-tree — see README.md:78-80); BASELINE.json's
+north star asks for "batched subgrid FFTs, subgrid→grid scatter-add" as an
+extension stage. TPU-native design choices:
+
+- FFT as DFT matmuls: subgrids are tiny (N=32), so a length-N DFT is a pair
+  of [N,N] matmuls per axis — MXU work, and complex-free (split-complex
+  pairs; this TPU backend rejects complex64 anyway). An N·log N FFT would be
+  slower than one 32×32 matmul on the MXU.
+- scatter-add via one batched `.at[].add` — XLA lowers to a single scatter.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+from .complexpair import Pair
+
+
+@lru_cache(maxsize=None)
+def _dft_factors(n: int, inverse: bool):
+    j = np.arange(n)
+    sign = 2.0 if inverse else -2.0
+    w = np.exp(sign * 1j * np.pi * np.outer(j, j) / n)
+    if inverse:
+        w = w / n
+    return (
+        np.ascontiguousarray(w.real, dtype=np.float32),
+        np.ascontiguousarray(w.imag, dtype=np.float32),
+    )
+
+
+def _dft_pair(n: int, inverse: bool) -> Pair:
+    re, im = _dft_factors(n, inverse)
+    return jnp.asarray(re), jnp.asarray(im)
+
+
+def _apply_last_axis(x: Pair, w: Pair) -> Pair:
+    """y[..., k] = sum_j x[..., j] · w[j, k] (complex, split)."""
+    kw = dict(precision="highest", preferred_element_type=jnp.float32)
+    rr = jnp.matmul(x[0], w[0], **kw) - jnp.matmul(x[1], w[1], **kw)
+    ii = jnp.matmul(x[0], w[1], **kw) + jnp.matmul(x[1], w[0], **kw)
+    return rr, ii
+
+
+def fft2_pair(x: Pair, inverse: bool = False) -> Pair:
+    """2-D DFT over the last two axes of a split-complex pair via matmuls."""
+    n_last = x[0].shape[-1]
+    n_prev = x[0].shape[-2]
+    y = _apply_last_axis(x, _dft_pair(n_last, inverse))
+    y = tuple(jnp.swapaxes(v, -1, -2) for v in y)
+    y = _apply_last_axis(y, _dft_pair(n_prev, inverse))
+    return tuple(jnp.swapaxes(v, -1, -2) for v in y)
+
+
+def fftshift2_pair(x: Pair) -> Pair:
+    """fftshift over the last two axes (production IDG shifts subgrids
+    before the grid add; the cost model's +6 flops/pixel 'shift' term,
+    app/common/common.cpp:104)."""
+    n1, n0 = x[0].shape[-1], x[0].shape[-2]
+    return tuple(
+        jnp.roll(v, shift=(n0 // 2, n1 // 2), axis=(-2, -1)) for v in x
+    )
+
+
+def subgrids_to_grid(
+    sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True
+) -> Pair:
+    """Batched subgrid iFFT + scatter-add into a [P, G, G] grid pair.
+
+    sub: pair of f32[S, P, N, N]; coords are the subgrid's top-left grid
+    corner (metadata coordinate, app/common/types.hpp:19-26), clipped so the
+    N×N tile stays in bounds.
+    """
+    s_count, p, n, _ = sub[0].shape
+    if apply_fft:
+        sub = fft2_pair(fftshift2_pair(sub), inverse=True)
+        sub = fftshift2_pair(sub)
+    cx = jnp.clip(coord_x.astype(jnp.int32), 0, grid_size - n)
+    cy = jnp.clip(coord_y.astype(jnp.int32), 0, grid_size - n)
+    ys = cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    xs = cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    grid_re = jnp.zeros((p, grid_size, grid_size), jnp.float32)
+    grid_im = jnp.zeros((p, grid_size, grid_size), jnp.float32)
+    val = tuple(jnp.moveaxis(v, 1, 0) for v in sub)  # [P, S, N, N]
+    grid_re = grid_re.at[:, ys, xs].add(val[0])
+    grid_im = grid_im.at[:, ys, xs].add(val[1])
+    return grid_re, grid_im
+
+
+def grid_to_subgrids(
+    grid: Pair, coord_x, coord_y, subgrid_size: int, apply_fft: bool = True
+) -> Pair:
+    """Gather [S, P, N, N] subgrid tiles from a [P, G, G] grid pair and FFT
+    them to image space (the degridding direction's grid stage)."""
+    n = subgrid_size
+    grid_size = grid[0].shape[-1]
+    cx = jnp.clip(coord_x.astype(jnp.int32), 0, grid_size - n)
+    cy = jnp.clip(coord_y.astype(jnp.int32), 0, grid_size - n)
+    ys = cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    xs = cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    sub = tuple(jnp.moveaxis(g[:, ys, xs], 0, 1) for g in grid)  # [S, P, N, N]
+    if apply_fft:
+        sub = fft2_pair(fftshift2_pair(sub), inverse=False)
+        sub = fftshift2_pair(sub)
+    return sub

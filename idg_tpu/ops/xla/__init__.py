@@ -1,1 +1,1 @@
-from . import degridder, gridder  # noqa: F401  (registers kernels)
+from . import degridder, gridder, separable  # noqa: F401  (registers kernels)

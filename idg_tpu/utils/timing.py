@@ -2,10 +2,17 @@
 
 The reference times kernels with cudaEvent-bracketed launch loops: NR_WARM_UP_RUNS
 warmups then NR_ITERATIONS timed launches, reporting the mean
-(app/CUDA/util.cpp:81-161). The TPU equivalent: call the jitted function once
-to compile (excluded), run warmups, then wall-time iterations bracketed by
-``jax.block_until_ready`` so async dispatch doesn't leak into (or out of) the
-measured window.
+(app/CUDA/util.cpp:81-161). The TPU equivalent: compile excluded, warmup
+launches, then one timed window containing NR_ITERATIONS back-to-back
+launches, closed by a device→host fetch of a single output element.
+
+Why a fetch and not `jax.block_until_ready`: on this machine's tunneled TPU
+platform ("axon") block_until_ready can return before remote execution
+finishes (measured: block=0.1 ms while the same launch takes 366 ms to
+produce its data), which silently breaks naive per-iteration timing. A tiny
+transfer from the LAST output forces completion of the whole serialized
+device queue; its ~30 ms cost is amortized across the window and subtracted
+via a measured sync-overhead estimate.
 """
 
 from __future__ import annotations
@@ -15,8 +22,17 @@ import time
 from typing import Callable, Optional
 
 import jax
+import numpy as np
 
 from ..config import HarnessConfig
+
+
+def _force(out) -> None:
+    """Force completion: fetch one element of every output leaf's first
+    entry (tiny D2H transfer; completes the device queue)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    for leaf in leaves[:1]:
+        np.asarray(jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -24,7 +40,8 @@ class TimingResult:
     seconds: float          # mean seconds per iteration
     iterations: int
     warmup_runs: int
-    all_seconds: tuple      # per-iteration wall times
+    all_seconds: tuple      # per-window wall times (windows of 1+ iterations)
+    sync_overhead: float    # measured per-window sync cost (subtracted)
 
 
 def time_kernel(
@@ -33,35 +50,42 @@ def time_kernel(
     harness: Optional[HarnessConfig] = None,
     profile_dir: Optional[str] = None,
 ) -> TimingResult:
-    """Warmup + timed loop (p_run_kernel semantics, app/CUDA/util.cpp:81-128).
-
-    `fn` must be a jittable callable returning one or more device arrays.
-    Every iteration runs the same launch; the mean wall time is returned.
-    """
+    """Warmup + timed launch window (p_run_kernel semantics,
+    app/CUDA/util.cpp:81-128). `fn` must be a jittable callable returning
+    device arrays; the mean wall time per launch is returned."""
     cfg = harness or HarnessConfig.from_env()
 
-    # Compile (and any constant transfers) excluded from timing.
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # Compile (and constant transfers) excluded from timing.
+    _force(fn(*args))
 
     for _ in range(cfg.nr_warm_up_runs):
-        jax.block_until_ready(fn(*args))
+        fn(*args)
+    out = fn(*args)
+    _force(out)
+
+    # Estimate the fixed sync/fetch overhead on an already-materialized
+    # output (queue empty → measures only the D2H round trip).
+    t0 = time.perf_counter()
+    _force(out)
+    sync_overhead = time.perf_counter() - t0
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    times = []
+    t0 = time.perf_counter()
     for _ in range(cfg.nr_iterations):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
+        out = fn(*args)
+    _force(out)
+    total = time.perf_counter() - t0
 
     if profile_dir:
         jax.profiler.stop_trace()
 
+    per_iter = max(total - sync_overhead, 1e-12) / cfg.nr_iterations
     return TimingResult(
-        seconds=sum(times) / len(times),
+        seconds=per_iter,
         iterations=cfg.nr_iterations,
         warmup_runs=cfg.nr_warm_up_runs,
-        all_seconds=tuple(times),
+        all_seconds=(total,),
+        sync_overhead=sync_overhead,
     )

@@ -1,0 +1,186 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The reference has no multi-device capability to test (SURVEY.md §2.7); this
+layer is new. Every test checks the sharded path bit-matches (or 1e-5-matches)
+the single-device kernel run on the same inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from idg_tpu import IDGParams, make_observation
+from idg_tpu.ops.api import run_gridder
+from idg_tpu.ops.grid import grid_to_subgrids, subgrids_to_grid
+from idg_tpu.ops.registry import get_kernel
+from idg_tpu.parallel import make_mesh, sharded_degridder, sharded_gridder
+from idg_tpu.parallel.sharded import (
+    shard_observation,
+    sharded_grid_to_degridder,
+    sharded_gridder_to_grid,
+)
+from idg_tpu.types import combine_complex, split_complex, split_observation
+from idg_tpu.utils.compare import check_error
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def par_params():
+    # S = B * timeslots = 10 * 4 = 40, divisible by 8.
+    return IDGParams(
+        grid_size=128,
+        subgrid_size=16,
+        nr_stations=5,
+        nr_timeslots=4,
+        nr_timesteps_subgrid=16,
+        nr_channels=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def par_obs(par_params):
+    obs, _ = make_observation(par_params)
+    return obs
+
+
+def test_sharded_gridder_matches_single_device(mesh, par_params, par_obs):
+    expected = run_gridder(par_params, par_obs, version="xla_v2")
+    sobs = split_observation(par_obs)
+    sharded_sobs, s_pad = shard_observation(par_params, sobs, mesh)
+    assert s_pad == par_params.nr_subgrids  # already divisible
+    re, im = sharded_gridder(par_params, mesh, "xla_v2")(sharded_sobs)
+    got = combine_complex(np.asarray(re), np.asarray(im))
+    assert check_error(got, expected, verbose=False).passed
+
+
+def test_sharded_gridder_pads_odd_subgrid_count(mesh):
+    # S = 3 baselines * 2 = 6, not divisible by 8 -> padded to 8.
+    params = IDGParams(
+        grid_size=128, subgrid_size=16, nr_stations=3, nr_timeslots=2,
+        nr_timesteps_subgrid=16, nr_channels=4,
+    )
+    obs, _ = make_observation(params)
+    expected = run_gridder(params, obs, version="xla_v2")
+    sharded_sobs, s_pad = shard_observation(params, split_observation(obs), mesh)
+    assert s_pad == 8
+    re, im = sharded_gridder(params, mesh, "xla_v2")(sharded_sobs)
+    got = combine_complex(np.asarray(re), np.asarray(im))[: params.nr_subgrids]
+    assert check_error(got, expected, verbose=False).passed
+
+
+def test_sharded_degridder_matches_single_device(mesh, par_params, par_obs):
+    from idg_tpu.data import initialize_subgrids
+
+    subgrids = initialize_subgrids(
+        par_params.nr_subgrids, par_params.nr_correlations, par_params.subgrid_size
+    )
+    sobs = split_observation(par_obs)
+    kernel = get_kernel("degridder", "xla_v2").fn
+    exp_re, exp_im = jax.jit(kernel, static_argnums=0)(
+        par_params, sobs, split_complex(subgrids)
+    )
+    expected = combine_complex(np.asarray(exp_re), np.asarray(exp_im))
+
+    sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
+    sub_pair = split_complex(subgrids)
+    re, im = sharded_degridder(par_params, mesh, "xla_v2")(sharded_sobs, sub_pair)
+    got = combine_complex(np.asarray(re), np.asarray(im))
+    assert check_error(got, expected, verbose=False).passed
+
+
+def test_sharded_grid_reduction_matches_local(mesh, par_params, par_obs):
+    """gridder → FFT → scatter-add → psum equals the single-device pipeline."""
+    sobs = split_observation(par_obs)
+    kernel = get_kernel("gridder", "xla_v2").fn
+    sub = jax.jit(kernel, static_argnums=0)(par_params, sobs)
+    md = par_obs.metadata
+    expected = subgrids_to_grid(
+        sub, md.coord_x, md.coord_y, par_params.grid_size, apply_fft=True
+    )
+    sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
+    fn = sharded_gridder_to_grid(par_params, mesh, "xla_v2", apply_fft=True)
+    got = fn(sharded_sobs)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expected[0]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(expected[1]), atol=2e-4
+    )
+
+
+def test_sharded_grid_reduction_scatter_variant(mesh, par_params, par_obs):
+    """psum_scatter grid rows concatenate to the psum (replicated) grid."""
+    sobs = split_observation(par_obs)
+    sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
+    full = sharded_gridder_to_grid(par_params, mesh, "xla_v2")(sharded_sobs)
+    rows = sharded_gridder_to_grid(
+        par_params, mesh, "xla_v2", grid_sharded=True
+    )(sharded_sobs)
+    np.testing.assert_allclose(
+        np.asarray(rows[0]), np.asarray(full[0]), atol=1e-5
+    )
+
+
+def test_grid_roundtrip_extract_is_adjointish(mesh, par_params, par_obs):
+    """grid → subgrid tiles → degridder compiles and runs under shard_map."""
+    sobs = split_observation(par_obs)
+    sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
+    grid = sharded_gridder_to_grid(par_params, mesh, "xla_v2")(sharded_sobs)
+    vis = sharded_grid_to_degridder(par_params, mesh, "xla_v2")(
+        sharded_sobs, grid
+    )
+    assert np.isfinite(np.asarray(vis[0])).all()
+    assert np.asarray(vis[0]).shape == (
+        par_params.nr_subgrids,
+        par_params.nr_timesteps_subgrid,
+        par_params.nr_channels,
+        par_params.nr_correlations,
+    )
+
+
+def test_fft_matmul_matches_numpy(par_params):
+    """DFT-matmul FFT equals np.fft on random subgrids."""
+    from idg_tpu.ops.grid import fft2_pair
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((3, 4, 16, 16)) + 1j * rng.standard_normal((3, 4, 16, 16))).astype(np.complex64)
+    got = fft2_pair(split_complex(x), inverse=False)
+    expected = np.fft.fft2(x)
+    np.testing.assert_allclose(
+        combine_complex(np.asarray(got[0]), np.asarray(got[1])),
+        expected.astype(np.complex64),
+        atol=1e-3,
+    )
+    inv = fft2_pair(split_complex(x), inverse=True)
+    np.testing.assert_allclose(
+        combine_complex(np.asarray(inv[0]), np.asarray(inv[1])),
+        np.fft.ifft2(x).astype(np.complex64),
+        atol=1e-5,
+    )
+
+
+def test_scatter_gather_inverse(par_params):
+    """grid_to_subgrids(subgrids_to_grid(x)) recovers x for disjoint tiles
+    (no FFT, coords on a disjoint lattice)."""
+    n = par_params.subgrid_size
+    g = par_params.grid_size
+    s = (g // n) ** 2
+    coords = np.stack(
+        np.meshgrid(np.arange(0, g, n), np.arange(0, g, n), indexing="ij"), -1
+    ).reshape(-1, 2)
+    rng = np.random.default_rng(3)
+    sub = rng.standard_normal((s, 4, n, n)).astype(np.float32)
+    pair = (sub, -sub)
+    grid = subgrids_to_grid(
+        pair, coords[:, 1], coords[:, 0], g, apply_fft=False
+    )
+    back = grid_to_subgrids(
+        grid, coords[:, 1], coords[:, 0], n, apply_fft=False
+    )
+    np.testing.assert_allclose(np.asarray(back[0]), sub, atol=1e-6)

@@ -10,8 +10,8 @@ from idg_tpu.ops.api import run_degridder, run_gridder
 from idg_tpu.ops.registry import get_kernel, list_kernels
 from idg_tpu.utils import compare_subgrids, compare_visibilities
 
-GRIDDER_VERSIONS = ["xla_reference", "xla_v1", "xla_v2", "xla_v3"]
-DEGRIDDER_VERSIONS = ["xla_reference", "xla_v1", "xla_v2", "xla_v3"]
+GRIDDER_VERSIONS = ["xla_reference", "xla_v1", "xla_v2", "xla_v3", "xla_v4"]
+DEGRIDDER_VERSIONS = ["xla_reference", "xla_v1", "xla_v2", "xla_v3", "xla_v4"]
 
 
 @pytest.fixture(scope="module")
