@@ -1,0 +1,271 @@
+"""idg-bench CLI: the TPU analogue of the reference's per-kernel executables.
+
+The reference builds one executable per kernel (tests/CMakeLists.txt:4-38);
+each runs performance mode with no args or correctness mode with `-c`
+(tests/gridder_common.cpp:126-140). Here one CLI selects workload/version/
+mode, honors the same env vars, and adds sweep / list / scaling commands
+(replacing scripts/run_perf_cuda.sh and extending to multi-chip).
+
+  python -m idg_tpu.cli run --workload gridder --version xla_v4 --mode perf
+  python -m idg_tpu.cli run --workload degridder --version xla_v2 --mode check
+  python -m idg_tpu.cli sweep --mode perf
+  python -m idg_tpu.cli vadd
+  python -m idg_tpu.cli list
+  python -m idg_tpu.cli info
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# First TPU compiles on this platform take minutes; cache across processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
+
+CSV_EXT = "-tpu.csv"
+
+
+def _perf_one(workload: str, version: str, mesh_size: int | None) -> float:
+    """Performance mode (p_run_gridder_ semantics, app/CUDA/util.cpp:172-249).
+
+    Returns the mean seconds per launch.
+    """
+    import jax
+
+    from .config import HarnessConfig, IDGParams
+    from .data import initialize_subgrids, make_perf_observation
+    from .ops.api import staged_runner
+    from .utils.costs import workload_costs
+    from .utils.printing import print_device_info, print_parameters
+    from .utils.report import device_name, report, report_csv
+    from .utils.timing import time_kernel
+
+    params = IDGParams.from_env()
+    harness = HarnessConfig.from_env()
+    print_device_info()
+    print_parameters(params)
+
+    obs = make_perf_observation(params)
+    subgrids = None
+    if workload == "degridder":
+        subgrids = initialize_subgrids(
+            params.nr_subgrids, params.nr_correlations, params.subgrid_size
+        )
+
+    if mesh_size:
+        from .parallel import make_mesh
+        from .parallel.sharded import (
+            shard_observation,
+            sharded_degridder,
+            sharded_gridder,
+        )
+        from .types import split_complex, split_observation
+
+        mesh = make_mesh(mesh_size)
+        sharded_sobs, _ = shard_observation(params, split_observation(obs), mesh)
+        if workload == "gridder":
+            fn = sharded_gridder(params, mesh, version)
+            args = (sharded_sobs,)
+        else:
+            fn = sharded_degridder(params, mesh, version)
+            args = (sharded_sobs, jax.device_put(split_complex(subgrids)))
+    else:
+        fn, args = staged_runner(workload, version, params, obs, subgrids)
+
+    timing = time_kernel(fn, *args, harness=harness)
+    gflops, gbytes, mvis = workload_costs(params)
+    name = f"{workload}_{version}"
+    report(name, timing.seconds, gflops, gbytes, mvis)
+    report_csv(
+        name, device_name(), CSV_EXT, timing.seconds, gflops, gbytes, mvis,
+        output_path=harness.output_path,
+    )
+    return timing.seconds
+
+
+def _check_one(workload: str, version: str) -> bool:
+    """Correctness mode (`-c` semantics, tests/gridder_common.cpp:43-124)."""
+    from .config import IDGParams
+    from .data import initialize_subgrids, make_observation
+    from .models.reference import degridder_reference, gridder_reference
+    from .ops.api import run_degridder, run_gridder
+    from .utils.compare import compare_subgrids, compare_visibilities
+    from .utils.printing import print_parameters
+
+    params = IDGParams.correctness_defaults()
+    print_parameters(params)
+    obs, _ = make_observation(params)
+    if workload == "gridder":
+        print(">>> Run gridder on host (golden reference)")
+        golden = gridder_reference(params, obs)
+        print(f">>> Run gridder on device ({version})")
+        got = run_gridder(params, obs, version=version)
+        result = compare_subgrids(golden, got)
+    else:
+        subgrids = initialize_subgrids(
+            params.nr_subgrids, params.nr_correlations, params.subgrid_size
+        )
+        print(">>> Run degridder on host (golden reference)")
+        golden = degridder_reference(params, obs, subgrids)
+        print(f">>> Run degridder on device ({version})")
+        got = run_degridder(params, obs, subgrids, version=version)
+        result = compare_visibilities(golden, got)
+    return result.passed
+
+
+def cmd_run(args) -> int:
+    if args.mode == "perf":
+        _perf_one(args.workload, args.version, args.mesh)
+        return 0
+    ok = _check_one(args.workload, args.version)
+    return 0 if ok else 1
+
+
+def cmd_sweep(args) -> int:
+    """Run all (or selected) versions of the chosen workloads — the
+    run_perf_{cuda,hip}.sh analogue."""
+    from .ops.registry import list_kernels
+
+    failed = []
+    for workload in args.workloads.split(","):
+        versions = (
+            [e.version for e in list_kernels(workload)]
+            if args.versions == "all"
+            else args.versions.split(",")
+        )
+        for version in versions:
+            print(f"=== {workload} {version} ({args.mode}) ===")
+            try:
+                if args.mode == "perf":
+                    _perf_one(workload, version, args.mesh)
+                elif not _check_one(workload, version):
+                    failed.append((workload, version))
+            except Exception as exc:  # keep sweeping, report at the end
+                print(f"!!! {workload} {version} errored: {exc}")
+                failed.append((workload, version))
+    if failed:
+        print("FAILED:", ", ".join(f"{w}/{v}" for w, v in failed))
+        return 1
+    return 0
+
+
+def cmd_vadd(args) -> int:
+    """Bandwidth smoke benchmark (res/vadd analogue)."""
+    from .config import HarnessConfig
+    from .ops.vadd import make_vadd_inputs, vadd, vadd_gbytes, vadd_pallas
+    from .utils.printing import print_device_info
+    from .utils.report import device_name, report, report_csv
+    from .utils.timing import time_kernel
+
+    import jax
+
+    print_device_info()
+    harness = HarnessConfig.from_env()
+    x, y = make_vadd_inputs(args.n)
+    x, y = jax.device_put(x), jax.device_put(y)
+    if args.pallas:
+        interpret = jax.devices()[0].platform != "tpu"
+        fn = jax.jit(lambda a, b: vadd_pallas(a, b, interpret=interpret))
+    else:
+        fn = vadd
+    timing = time_kernel(fn, x, y, harness=harness)
+    gbytes = vadd_gbytes(args.n)
+    name = "vadd_pallas" if args.pallas else "vadd"
+    report(name, timing.seconds, 0.0, gbytes)
+    report_csv(
+        name, device_name(), CSV_EXT, timing.seconds, 0.0, gbytes,
+        output_path=harness.output_path,
+    )
+    return 0
+
+
+def cmd_list(args) -> int:
+    from .ops.registry import list_kernels
+
+    for entry in list_kernels():
+        print(f"{entry.workload:>10s}  {entry.version:<16s} [{entry.family}]  {entry.description}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .utils.printing import print_device_info
+
+    print_device_info()
+    return 0
+
+
+def cmd_scaling(args) -> int:
+    """Weak-scaling report over mesh sizes (new vs the reference; the
+    BASELINE.json north-star scaling-efficiency measurement)."""
+    import jax
+
+    from .config import HarnessConfig, IDGParams
+    from .data import make_perf_observation
+    from .parallel import make_mesh
+    from .parallel.sharded import shard_observation, sharded_gridder
+    from .types import split_observation
+    from .utils.costs import workload_costs
+    from .utils.timing import time_kernel
+
+    params = IDGParams.from_env()
+    harness = HarnessConfig.from_env()
+    obs = make_perf_observation(params)
+    sobs = split_observation(obs)
+    _, _, mvis = workload_costs(params)
+    sizes = [int(s) for s in args.mesh_sizes.split(",")]
+    base = None
+    print(f"{'devices':>8s} {'ms':>10s} {'MVis/s':>12s} {'efficiency':>11s}")
+    for n_dev in sizes:
+        if n_dev > len(jax.devices()):
+            print(f"{n_dev:>8d}  (skipped: only {len(jax.devices())} devices)")
+            continue
+        mesh = make_mesh(n_dev)
+        sharded_sobs, _ = shard_observation(params, sobs, mesh)
+        fn = sharded_gridder(params, mesh, args.version)
+        timing = time_kernel(fn, sharded_sobs, harness=harness)
+        rate = mvis / timing.seconds
+        if base is None:
+            base = rate
+        eff = rate / (base * n_dev / sizes[0])
+        print(f"{n_dev:>8d} {timing.seconds * 1e3:>10.2f} {rate:>12.2f} {eff:>10.1%}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="idg-bench", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run one kernel in perf or check mode")
+    p_run.add_argument("--workload", choices=["gridder", "degridder"], required=True)
+    p_run.add_argument("--version", default="xla_v4")
+    p_run.add_argument("--mode", choices=["perf", "check"], default="perf")
+    p_run.add_argument("--mesh", type=int, default=None, help="shard over N devices")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_sweep = sub.add_parser("sweep", help="run many kernels (run_perf_*.sh analogue)")
+    p_sweep.add_argument("--workloads", default="gridder,degridder")
+    p_sweep.add_argument("--versions", default="all")
+    p_sweep.add_argument("--mode", choices=["perf", "check"], default="perf")
+    p_sweep.add_argument("--mesh", type=int, default=None)
+    p_sweep.set_defaults(fn=cmd_sweep)
+
+    p_vadd = sub.add_parser("vadd", help="bandwidth smoke benchmark")
+    p_vadd.add_argument("--n", type=int, default=256 * 1024 * 1024)
+    p_vadd.add_argument("--pallas", action="store_true")
+    p_vadd.set_defaults(fn=cmd_vadd)
+
+    sub.add_parser("list", help="list registered kernels").set_defaults(fn=cmd_list)
+    sub.add_parser("info", help="print device info").set_defaults(fn=cmd_info)
+
+    p_scal = sub.add_parser("scaling", help="weak-scaling efficiency report")
+    p_scal.add_argument("--version", default="xla_v4")
+    p_scal.add_argument("--mesh-sizes", default="1,2,4,8")
+    p_scal.set_defaults(fn=cmd_scaling)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

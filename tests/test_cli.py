@@ -1,0 +1,99 @@
+"""CLI smoke tests (subprocess, CPU, shrunken problems via env vars —
+exercising the same env-var config surface as the reference binaries)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SMALL_ENV = {
+    "GRID_SIZE": "128",
+    "SUBGRID_SIZE": "16",
+    "NR_STATIONS": "3",
+    "NR_TIMESLOTS": "2",
+    "NR_TIMESTEPS_SUBGRID": "16",
+    "NR_CHANNELS": "8",
+    "NR_ITERATIONS": "2",
+    "NR_WARM_UP_RUNS": "1",
+}
+
+
+def _run(args, extra_env=None, timeout=300):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env.update(extra_env or {})
+    return subprocess.run(
+        [sys.executable, "-m", "idg_tpu"] + args,
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=timeout,
+    )
+
+
+def test_cli_list():
+    proc = _run(["list"])
+    assert proc.returncode == 0, proc.stderr
+    assert "gridder" in proc.stdout and "xla_v4" in proc.stdout
+
+
+def test_cli_check_gridder():
+    proc = _run(
+        ["run", "--workload", "gridder", "--version", "xla_v2", "--mode", "check"],
+        extra_env=SMALL_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert ">>> Result PASSED" in proc.stdout
+
+
+def test_cli_check_degridder():
+    proc = _run(
+        ["run", "--workload", "degridder", "--version", "xla_v4", "--mode", "check"],
+        extra_env=SMALL_ENV,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert ">>> Result PASSED" in proc.stdout
+
+
+def test_cli_perf_writes_csv(tmp_path):
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path))
+    proc = _run(
+        ["run", "--workload", "gridder", "--version", "xla_v2", "--mode", "perf"],
+        extra_env=env,
+    )
+    assert proc.returncode == 0, proc.stderr
+    csvs = list(tmp_path.glob("*gridder_xla_v2-tpu.csv"))
+    assert len(csvs) == 1
+    lines = csvs[0].read_text().strip().splitlines()
+    metrics = dict(line.split(",") for line in lines)
+    assert set(metrics) >= {"ms", "GFLOP/s", "GB/s", "FLOP/Byte", "MVis/s"}
+
+
+def test_cli_perf_sharded(tmp_path):
+    env = dict(
+        SMALL_ENV,
+        OUTPUT_PATH=str(tmp_path),
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    proc = _run(
+        ["run", "--workload", "gridder", "--version", "xla_v2",
+         "--mode", "perf", "--mesh", "8"],
+        extra_env=env,
+    )
+    assert proc.returncode == 0, proc.stderr
+
+
+def test_bench_emits_one_json_line(tmp_path):
+    env = dict(os.environ)
+    env.update(SMALL_ENV)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env["BENCH_KERNEL"] = "xla_v2"
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
