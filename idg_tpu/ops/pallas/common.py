@@ -1,0 +1,163 @@
+"""Shared host-side staging for the Pallas kernel family.
+
+Every Pallas kernel runs one grid step per subgrid (the TPU analogue of
+"one thread-block per subgrid", SURVEY.md §2.4) and receives:
+
+- per-subgrid blocks: uvw [1,T,3], visibilities [1,T,C,P] (re/im), exact
+  phase-offset axis parts po_x/po_y [1,N], w offset [1,1];
+- replicated blocks: wavenumbers, l/m row vectors, n-power packs, spheroidal;
+- metadata-driven blocks: the two station Jones terms, selected per subgrid
+  by scalar-prefetched (aterm_index, station1, station2) — the index_map
+  reads the prefetch refs, so aterms stay un-duplicated in HBM
+  (vs. gathering [S,P,N,N] copies, which would add GBs of traffic).
+
+Aterm layout is rearranged once per call to [ts, st, P, N_y, N_x] (pol-major
+planes) so kernels slice one [N,N] tile per polarization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ...config import IDGParams
+from ...types import SplitObservation
+from ..common import (
+    gather_time,
+    lmn_grids,
+    phase_offset_parts,
+    w_offset_scalar,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Staged:
+    """Arrays staged for a per-subgrid Pallas grid."""
+
+    uvw: jnp.ndarray        # f32[S, T, 3]
+    vis_re: jnp.ndarray     # f32[S, T, C, P]
+    vis_im: jnp.ndarray     # f32[S, T, C, P]
+    wavenumbers: jnp.ndarray  # f32[1, C]
+    po_x: jnp.ndarray       # f32[S, N]
+    po_y: jnp.ndarray       # f32[S, N]
+    w_off: jnp.ndarray      # f32[S, 1]
+    lrow: jnp.ndarray       # f32[1, N]
+    mrow: jnp.ndarray       # f32[1, N]
+    n_yx: jnp.ndarray       # f32[N, N]  (n[y, x])
+    sph: jnp.ndarray        # f32[N, N]  (spheroidal[y, x])
+    at_re: jnp.ndarray      # f32[ts, st, P, N, N] (pol-major [y, x] planes)
+    at_im: jnp.ndarray      # f32[ts, st, P, N, N]
+    aterm_index: jnp.ndarray  # i32[S]
+    station1: jnp.ndarray   # i32[S]
+    station2: jnp.ndarray   # i32[S]
+
+
+def stage(params: IDGParams, sobs: SplitObservation) -> Staged:
+    md = sobs.metadata
+    T = params.nr_timesteps_subgrid
+    C, P = params.nr_channels, params.nr_correlations
+    uvw = gather_time(sobs.uvw.reshape(-1, 3), md.time_offset, T)
+    vis_re = gather_time(sobs.vis_re.reshape(-1, C, P), md.time_offset, T)
+    vis_im = gather_time(sobs.vis_im.reshape(-1, C, P), md.time_offset, T)
+    po_x, po_y = phase_offset_parts(params, md)
+    w_off = w_offset_scalar(params, md)[:, None]
+    l, m, n = lmn_grids(params.subgrid_size, params.image_size)
+    return Staged(
+        uvw=uvw,
+        vis_re=vis_re,
+        vis_im=vis_im,
+        wavenumbers=sobs.wavenumbers[None, :],
+        po_x=po_x,
+        po_y=po_y,
+        w_off=w_off,
+        lrow=l[None, :],
+        mrow=m[None, :],
+        n_yx=n,
+        sph=sobs.spheroidal,
+        at_re=jnp.transpose(sobs.at_re, (0, 1, 4, 2, 3)),
+        at_im=jnp.transpose(sobs.at_im, (0, 1, 4, 2, 3)),
+        aterm_index=md.aterm_index.astype(jnp.int32),
+        station1=md.station1.astype(jnp.int32),
+        station2=md.station2.astype(jnp.int32),
+    )
+
+
+def use_interpret() -> bool:
+    """Pallas interpret mode off-TPU (CPU tests); compiled on TPU backends
+    (the tunneled platform reports 'axon' informally but lowers Mosaic)."""
+    platform = jax.devices()[0].platform
+    return platform not in ("tpu", "axon")
+
+
+# ---- in-kernel split-complex helpers (trace-time, shapes static) ----------
+
+def kcmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def kcmul_conj(ar, ai, br, bi):
+    """(a) · conj(b)."""
+    return ar * br + ai * bi, ai * br - ar * bi
+
+
+def jones_gridder(p, a1, a2):
+    """P ← A1ᴴ·P·A2 on per-pol [N,N] tile lists (math.hpp:64-77).
+
+    p/a1/a2: ((re, im) × 4 pols) tuples of [N,N] tiles, xx,xy,yx,yy order.
+    """
+    (a0r, a0i), (a1r, a1i), (a2r, a2i), (a3r, a3i) = a1
+    # A1ᴴ rows: [conj a0, conj a2; conj a1, conj a3]
+    t = []
+    for (h0r, h0i, h1r, h1i) in (
+        (a0r, -a0i, a2r, -a2i),
+        (a1r, -a1i, a3r, -a3i),
+    ):
+        for col in range(2):
+            p0r, p0i = p[col]
+            p1r, p1i = p[2 + col]
+            xr, xi = kcmul(h0r, h0i, p0r, p0i)
+            yr, yi = kcmul(h1r, h1i, p1r, p1i)
+            t.append((xr + yr, xi + yi))
+    # T·A2: rows of t are [t0 t1; t2 t3]
+    (b0r, b0i), (b1r, b1i), (b2r, b2i), (b3r, b3i) = a2
+    out = []
+    for row in range(2):
+        t0r, t0i = t[2 * row]
+        t1r, t1i = t[2 * row + 1]
+        for (c0r, c0i, c1r, c1i) in ((b0r, b0i, b2r, b2i), (b1r, b1i, b3r, b3i)):
+            xr, xi = kcmul(t0r, t0i, c0r, c0i)
+            yr, yi = kcmul(t1r, t1i, c1r, c1i)
+            out.append((xr + yr, xi + yi))
+    return out
+
+
+def jones_degridder(p, a1, a2):
+    """P ← A1·P·A2ᴴ on per-pol tile lists (math.hpp:79-92)."""
+    (a0r, a0i), (a1r, a1i), (a2r, a2i), (a3r, a3i) = a1
+    t = []
+    for (h0r, h0i, h1r, h1i) in (
+        (a0r, a0i, a1r, a1i),
+        (a2r, a2i, a3r, a3i),
+    ):
+        for col in range(2):
+            p0r, p0i = p[col]
+            p1r, p1i = p[2 + col]
+            xr, xi = kcmul(h0r, h0i, p0r, p0i)
+            yr, yi = kcmul(h1r, h1i, p1r, p1i)
+            t.append((xr + yr, xi + yi))
+    (b0r, b0i), (b1r, b1i), (b2r, b2i), (b3r, b3i) = a2
+    # A2ᴴ columns: col0 = (conj b0, conj b1), col1 = (conj b2, conj b3)
+    out = []
+    for row in range(2):
+        t0r, t0i = t[2 * row]
+        t1r, t1i = t[2 * row + 1]
+        for (c0r, c0i, c1r, c1i) in (
+            (b0r, -b0i, b1r, -b1i),
+            (b2r, -b2i, b3r, -b3i),
+        ):
+            xr, xi = kcmul(t0r, t0i, c0r, c0i)
+            yr, yi = kcmul(t1r, t1i, c1r, c1i)
+            out.append((xr + yr, xi + yi))
+    return out
