@@ -73,3 +73,17 @@ class CRand:
 
     def uniform_array(self, n: int) -> np.ndarray:
         return self.rand_array(n).astype(np.float64) / 2147483647.0
+
+
+def make_rng(seed: int = 0):
+    """Fastest available glibc-rand stream: native (idg_tpu.native) when the
+    shared library is built, else this pure-Python fallback. Both produce
+    the identical draw sequence (tests/test_native.py)."""
+    try:
+        from . import native
+
+        if native.available():
+            return native.NativeRand(seed)
+    except Exception:
+        pass
+    return CRand(seed)

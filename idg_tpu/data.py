@@ -22,13 +22,8 @@ from .config import (
     SPEED_OF_LIGHT,
     START_FREQUENCY,
 )
-from .crand import CRand
+from .crand import CRand, make_rng
 from .types import Metadata, Observation
-
-try:  # accelerated native generator (optional)
-    from .native import crand_uniform_array as _native_uniform
-except Exception:  # pragma: no cover - native lib absent
-    _native_uniform = None
 
 
 def compute_l(x, subgrid_size: int, image_size: float):
@@ -171,7 +166,7 @@ def make_observation(params: IDGParams, seed: int = 0, include_subgrids: bool = 
 
     Returns (Observation, subgrids_or_None).
     """
-    rng = CRand(seed)
+    rng = make_rng(seed)
     S, T = params.nr_subgrids, params.nr_timesteps_subgrid
     uvw = initialize_uvw(rng, params.grid_size, S, T)
     frequencies = initialize_frequencies(params.nr_channels)
@@ -210,7 +205,7 @@ def make_perf_observation(params: IDGParams, seed: int = 0) -> Observation:
     generated with the same draws the reference makes in perf mode
     (initialize_baselines + initialize_metadata only).
     """
-    rng = CRand(seed)
+    rng = make_rng(seed)
     baselines = initialize_baselines(params.nr_stations, params.nr_baselines)
     metadata = initialize_metadata(
         rng, params.grid_size, params.nr_timeslots, params.nr_timesteps_subgrid, baselines

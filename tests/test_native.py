@@ -1,0 +1,73 @@
+"""Native host-runtime library: build + parity with the Python definitions."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from idg_tpu import native
+from idg_tpu.crand import CRand
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    if not native.available():
+        if shutil.which("make") is None or not native.build():
+            pytest.skip("no native toolchain available")
+    assert native.available()
+
+
+def test_rand_stream_matches_python():
+    py = CRand(0).rand_array(10000)
+    nat = native.NativeRand(0).rand_array(10000)
+    assert np.array_equal(py, nat)
+
+
+def test_rand_stream_nonzero_seed():
+    py = CRand(12345).rand_array(2000)
+    nat = native.NativeRand(12345).rand_array(2000)
+    assert np.array_equal(py, nat)
+
+
+def test_native_gridder_matches_numpy_oracle(small_params, small_obs):
+    from idg_tpu.models.reference import gridder_reference
+    from idg_tpu.utils.compare import check_error
+
+    expected = gridder_reference(small_params, small_obs)
+    got = native.gridder_reference_native(small_params, small_obs)
+    result = check_error(got, expected, verbose=False)
+    assert result.passed and result.mean_error < 1e-6
+
+
+def test_native_degridder_matches_numpy_oracle(small_params, small_obs):
+    from idg_tpu.data import initialize_subgrids
+    from idg_tpu.models.reference import degridder_reference
+    from idg_tpu.utils.compare import check_error
+
+    sub = initialize_subgrids(
+        small_params.nr_subgrids,
+        small_params.nr_correlations,
+        small_params.subgrid_size,
+    )
+    expected = degridder_reference(small_params, small_obs, sub)
+    got = native.degridder_reference_native(small_params, small_obs, sub)
+    result = check_error(got, expected, verbose=False)
+    assert result.passed and result.mean_error < 1e-6
+
+
+def test_native_comparator_matches_python(small_params, small_obs):
+    from idg_tpu.models.reference import gridder_reference
+    from idg_tpu.utils.compare import check_error
+
+    a = gridder_reference(small_params, small_obs)
+    b = a + (1e-6 + 2e-6j)
+    py = check_error(b, a, verbose=False).mean_error
+    nat = native.check_error_native(b, a)
+    assert abs(py - nat) < 1e-12
+
+
+def test_make_rng_prefers_native():
+    from idg_tpu.crand import make_rng
+
+    rng = make_rng(0)
+    assert isinstance(rng, native.NativeRand)
