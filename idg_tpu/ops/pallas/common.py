@@ -3,16 +3,25 @@
 Every Pallas kernel runs one grid step per subgrid (the TPU analogue of
 "one thread-block per subgrid", SURVEY.md §2.4) and receives:
 
-- per-subgrid blocks: uvw [1,T,3], visibilities [1,T,C,P] (re/im), exact
-  phase-offset axis parts po_x/po_y [1,N], w offset [1,1];
-- replicated blocks: wavenumbers, l/m row vectors, n-power packs, spheroidal;
+- per-subgrid blocks: effective-visibility arrays shaped [1, V, ·] (channels
+  folded into scaled uvw on the XLA side), exact phase-offset axis parts,
+  and the subgrid/visibility payloads;
+- replicated blocks: l/m row vectors, n packs, spheroidal;
 - metadata-driven blocks: the two station Jones terms, selected per subgrid
   by scalar-prefetched (aterm_index, station1, station2) — the index_map
-  reads the prefetch refs, so aterms stay un-duplicated in HBM
-  (vs. gathering [S,P,N,N] copies, which would add GBs of traffic).
+  reads the prefetch refs, so aterms stay un-duplicated in HBM.
+
+Mosaic layout rules shape this staging (learned the hard way on-device):
+trailing block dims must equal the array dims or be (8,128)-divisible, and
+in-kernel reshapes that move data between sublanes and lanes
+(e.g. [T,C]→[V,1]) are unsupported — so every per-visibility quantity is
+pre-reshaped on the XLA side into the exact orientation its kernel consumes
+(columns [S,V,1] or rows [S,1,V]), and the naive kernels work in flat pixel
+space [·, N²] end-to-end with the [S,P,N,N] reshape done outside the kernel.
 
 Aterm layout is rearranged once per call to [ts, st, P, N_y, N_x] (pol-major
-planes) so kernels slice one [N,N] tile per polarization.
+planes, plus a flat [ts, st, P, N²] variant) so kernels slice one tile per
+polarization.
 """
 
 from __future__ import annotations
@@ -34,21 +43,29 @@ from ..common import (
 
 @dataclasses.dataclass(frozen=True)
 class Staged:
-    """Arrays staged for a per-subgrid Pallas grid."""
+    """Arrays staged for a per-subgrid Pallas grid. V = T·C (t-major)."""
 
     uvw: jnp.ndarray        # f32[S, T, 3]
     vis_re: jnp.ndarray     # f32[S, T, C, P]
     vis_im: jnp.ndarray     # f32[S, T, C, P]
+    vis_re_vp: jnp.ndarray  # f32[S, V, P]
+    vis_im_vp: jnp.ndarray  # f32[S, V, P]
+    up_col: jnp.ndarray     # f32[S, V, 1]  u·k_c
+    vp_col: jnp.ndarray     # f32[S, V, 1]  v·k_c
+    vp_row: jnp.ndarray     # f32[S, 1, V]
+    mu_col: jnp.ndarray     # f32[S, V, 1]  w_off − w·k_c
     wavenumbers: jnp.ndarray  # f32[1, C]
-    po_x: jnp.ndarray       # f32[S, N]
-    po_y: jnp.ndarray       # f32[S, N]
-    w_off: jnp.ndarray      # f32[S, 1]
+    po_x: jnp.ndarray       # f32[S, 1, N]
+    po_y: jnp.ndarray       # f32[S, 1, N]
     lrow: jnp.ndarray       # f32[1, N]
     mrow: jnp.ndarray       # f32[1, N]
     n_yx: jnp.ndarray       # f32[N, N]  (n[y, x])
-    sph: jnp.ndarray        # f32[N, N]  (spheroidal[y, x])
-    at_re: jnp.ndarray      # f32[ts, st, P, N, N] (pol-major [y, x] planes)
+    sph: jnp.ndarray        # f32[N, N]
+    sph_flat: jnp.ndarray   # f32[1, N²]
+    at_re: jnp.ndarray      # f32[ts, st, P, N, N]
     at_im: jnp.ndarray      # f32[ts, st, P, N, N]
+    at_re_flat: jnp.ndarray  # f32[ts, st, P, N²]
+    at_im_flat: jnp.ndarray  # f32[ts, st, P, N²]
     aterm_index: jnp.ndarray  # i32[S]
     station1: jnp.ndarray   # i32[S]
     station2: jnp.ndarray   # i32[S]
@@ -58,26 +75,47 @@ def stage(params: IDGParams, sobs: SplitObservation) -> Staged:
     md = sobs.metadata
     T = params.nr_timesteps_subgrid
     C, P = params.nr_channels, params.nr_correlations
+    S = md.nr_subgrids if hasattr(md, "nr_subgrids") else sobs.uvw.shape[0]
     uvw = gather_time(sobs.uvw.reshape(-1, 3), md.time_offset, T)
     vis_re = gather_time(sobs.vis_re.reshape(-1, C, P), md.time_offset, T)
     vis_im = gather_time(sobs.vis_im.reshape(-1, C, P), md.time_offset, T)
+    S = uvw.shape[0]
+    V = T * C
     po_x, po_y = phase_offset_parts(params, md)
-    w_off = w_offset_scalar(params, md)[:, None]
+    w_off = w_offset_scalar(params, md)
     l, m, n = lmn_grids(params.subgrid_size, params.image_size)
+    k = sobs.wavenumbers
+    # channels folded into uvw: effective visibility v = t·C + c
+    scaled = uvw[:, :, :, None] * k[None, None, None, :]   # [S, T, 3, C]
+    up = scaled[:, :, 0, :].reshape(S, V)
+    vp = scaled[:, :, 1, :].reshape(S, V)
+    wp = scaled[:, :, 2, :].reshape(S, V)
+    mu = w_off[:, None] - wp
+    at_re = jnp.transpose(sobs.at_re, (0, 1, 4, 2, 3))
+    at_im = jnp.transpose(sobs.at_im, (0, 1, 4, 2, 3))
+    nn = params.subgrid_size * params.subgrid_size
     return Staged(
         uvw=uvw,
         vis_re=vis_re,
         vis_im=vis_im,
-        wavenumbers=sobs.wavenumbers[None, :],
-        po_x=po_x,
-        po_y=po_y,
-        w_off=w_off,
+        vis_re_vp=vis_re.reshape(S, V, P),
+        vis_im_vp=vis_im.reshape(S, V, P),
+        up_col=up[:, :, None],
+        vp_col=vp[:, :, None],
+        vp_row=vp[:, None, :],
+        mu_col=mu[:, :, None],
+        wavenumbers=k[None, :],
+        po_x=po_x[:, None, :],
+        po_y=po_y[:, None, :],
         lrow=l[None, :],
         mrow=m[None, :],
         n_yx=n,
         sph=sobs.spheroidal,
-        at_re=jnp.transpose(sobs.at_re, (0, 1, 4, 2, 3)),
-        at_im=jnp.transpose(sobs.at_im, (0, 1, 4, 2, 3)),
+        sph_flat=sobs.spheroidal.reshape(1, nn),
+        at_re=at_re,
+        at_im=at_im,
+        at_re_flat=at_re.reshape(*at_re.shape[:3], nn),
+        at_im_flat=at_im.reshape(*at_im.shape[:3], nn),
         aterm_index=md.aterm_index.astype(jnp.int32),
         station1=md.station1.astype(jnp.int32),
         station2=md.station2.astype(jnp.int32),
@@ -103,9 +141,10 @@ def kcmul_conj(ar, ai, br, bi):
 
 
 def jones_gridder(p, a1, a2):
-    """P ← A1ᴴ·P·A2 on per-pol [N,N] tile lists (math.hpp:64-77).
+    """P ← A1ᴴ·P·A2 on per-pol tile lists (math.hpp:64-77).
 
-    p/a1/a2: ((re, im) × 4 pols) tuples of [N,N] tiles, xx,xy,yx,yy order.
+    p/a1/a2: ((re, im) × 4 pols) tuples of same-shape tiles (elementwise —
+    works for [N,N] planes and flat [1,N²] rows alike), xx,xy,yx,yy order.
     """
     (a0r, a0i), (a1r, a1i), (a2r, a2i), (a3r, a3i) = a1
     # A1ᴴ rows: [conj a0, conj a2; conj a1, conj a3]

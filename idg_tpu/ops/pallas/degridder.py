@@ -3,10 +3,11 @@
 Rungs mirror the gridder family (SURVEY.md §2.4 degridder ladder):
 
   pallas_v1  naive: taper+Jones prologue, then full-phase sincos per
-             (t,c,pixel) and a VPU reduction over pixels
+             (t,c,pixel) and an MXU pixel reduction
              (≈ GPU degridder_v1's timestep-parallel direct form).
-  pallas_v2  channel-recurrence phasor + per-channel [Tt,N²]×[N²,P] MXU dots
-             (≈ GPU degridder_v6's cmac refactor with v8-style recurrence).
+  pallas_v2  channel-recurrence phasor + per-channel dot_general pixel
+             reductions (≈ GPU degridder_v6's cmac refactor with v8-style
+             recurrence).
   pallas_v3  separable phasor: stage 1 contracts y on the MXU as a packed
              [V, 2N]×[2N, 2·N·P] matmul per w-rank; stage 2 contracts x on
              the VPU against Φx* (the x-contraction is per-visibility, so it
@@ -20,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -27,84 +29,17 @@ from ...config import IDGParams
 from ...types import SplitObservation
 from ..complexpair import Pair
 from ..registry import register
-from .common import Staged, jones_degridder, kcmul, kcmul_conj, stage, use_interpret
+from .common import jones_degridder, kcmul, kcmul_conj, stage, use_interpret
+from .gridder import _at_specs, _dot_mixed
 
 P_POLS = 4
 
 
-def _prologue(sub_re_ref, sub_im_ref, sph_ref, a1re_ref, a1im_ref,
-              a2re_ref, a2im_ref):
+def _prologue(pix, sph, a1, a2):
     """Taper + Jones staging of the input subgrid
-    (degridder_reference.cpp:35-74): per-pol [N,N] tiles A1·(sph·P)·A2ᴴ."""
-    sph = sph_ref[...]
-    pix = [
-        (sub_re_ref[0, p] * sph, sub_im_ref[0, p] * sph)
-        for p in range(P_POLS)
-    ]
-    a1 = [(a1re_ref[0, 0, p], a1im_ref[0, 0, p]) for p in range(P_POLS)]
-    a2 = [(a2re_ref[0, 0, p], a2im_ref[0, 0, p]) for p in range(P_POLS)]
+    (degridder_reference.cpp:35-74): per-pol tiles A1·(sph·P)·A2ᴴ."""
+    pix = [(r * sph, i * sph) for (r, i) in pix]
     return jones_degridder(pix, a1, a2)
-
-
-def _common_specs(T: int, C: int, N: int):
-    """uvw, k, po_x, po_y, w_off, subgrids(re,im)."""
-    return [
-        pl.BlockSpec((1, T, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-    ]
-
-
-def _epilogue_specs(N: int):
-    at = lambda which: pl.BlockSpec(
-        (1, 1, P_POLS, N, N),
-        lambda i, aidx, st1, st2, which=which: (
-            aidx[i], (st1 if which == 1 else st2)[i], 0, 0, 0
-        ),
-        memory_space=pltpu.VMEM,
-    )
-    return [
-        pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        at(1), at(1), at(2), at(2),
-    ]
-
-
-def _grid_call(params: IDGParams, stg: Staged, subgrids: Pair, kernel,
-               extra_inputs=(), extra_specs=(), interpret=None):
-    S = stg.uvw.shape[0]
-    T = params.nr_timesteps_subgrid
-    C, N = params.nr_channels, params.subgrid_size
-    if interpret is None:
-        interpret = use_interpret()
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(S,),
-        in_specs=_common_specs(T, C, N) + list(extra_specs) + _epilogue_specs(N),
-        out_specs=(
-            pl.BlockSpec((1, T, C, P_POLS), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, C, P_POLS), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((S, T, C, P_POLS), jnp.float32),
-        jax.ShapeDtypeStruct((S, T, C, P_POLS), jnp.float32),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        stg.aterm_index, stg.station1, stg.station2,
-        stg.uvw, stg.wavenumbers, stg.po_x, stg.po_y, stg.w_off,
-        subgrids[0], subgrids[1],
-        *extra_inputs,
-        stg.sph, stg.at_re, stg.at_im, stg.at_re, stg.at_im,
-    )
 
 
 # --------------------------------------------------------------------------
@@ -112,29 +47,37 @@ def _grid_call(params: IDGParams, stg: Staged, subgrids: Pair, kernel,
 # --------------------------------------------------------------------------
 
 def _kernel_direct(aidx, st1, st2,
-                   uvw_ref, k_ref, pox_ref, poy_ref, woff_ref,
+                   uvw_ref, k_ref, po_ref, lmn_ref,
                    sub_re_ref, sub_im_ref,
-                   lmn_ref, po_ref,
                    sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
                    out_re_ref, out_im_ref,
                    *, T, C, N, t_tile, recurrence):
     """Direct degridder: vis[t,c,p] = Σ_pix conj(phasor)·pixels[pix,p]
-    (degridder_reference.cu:39-115). `recurrence=True` swaps per-channel
-    sincos for one complex multiply (v2)."""
+    (degridder_reference.cu:39-115) in flat pixel space; `recurrence=True`
+    swaps per-channel sincos for one complex multiply (v2)."""
     NN = N * N
-    pix = _prologue(sub_re_ref, sub_im_ref, sph_ref,
-                    a1re_ref, a1im_ref, a2re_ref, a2im_ref)
-    # [P, N²] matrices of prepared pixels
-    pix_re = jnp.concatenate([p[0].reshape(1, NN) for p in pix], axis=0)
-    pix_im = jnp.concatenate([p[1].reshape(1, NN) for p in pix], axis=0)
+    sph = sph_ref[...]                               # [1, N²]
+    sub = [
+        (sub_re_ref[0, p:p + 1], sub_im_ref[0, p:p + 1]) for p in range(P_POLS)
+    ]
+    a1 = [(a1re_ref[0, 0, p:p + 1], a1im_ref[0, 0, p:p + 1]) for p in range(P_POLS)]
+    a2 = [(a2re_ref[0, 0, p:p + 1], a2im_ref[0, 0, p:p + 1]) for p in range(P_POLS)]
+    pix = _prologue(sub, sph, a1, a2)
+    pix_re = jnp.concatenate([p[0] for p in pix], axis=0)   # [P, N²]
+    pix_im = jnp.concatenate([p[1] for p in pix], axis=0)
+
     uvw = uvw_ref[0]
     k = k_ref[0]
-    po = po_ref[...]
+    po = po_ref[0]
     lmn = lmn_ref[...]
     dk = k[1] - k[0] if C > 1 else jnp.float32(0.0)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32, precision="highest"
-    )
+
+    def dg(a, b):
+        # contract the shared pixel axis: [Tt, N²] × [P, N²] -> [Tt, P]
+        return lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )
 
     for t0 in range(0, T, t_tile):
         u = uvw[t0:t0 + t_tile, 0:1]
@@ -153,33 +96,64 @@ def _kernel_direct(aidx, st1, st2,
             else:
                 phase = pi * k[c] - po
                 pc_re, pc_im = jnp.cos(phase), jnp.sin(phase)
-            # vis[t, p] = Σ_pix phasor[t,pix]·pixels[p,pix]
-            vr = dot(pc_re, pix_re.T) - dot(pc_im, pix_im.T)   # [Tt, P]
-            vi = dot(pc_re, pix_im.T) + dot(pc_im, pix_re.T)
+            vr = dg(pc_re, pix_re) - dg(pc_im, pix_im)       # [Tt, P]
+            vi = dg(pc_re, pix_im) + dg(pc_im, pix_re)
             out_re_ref[0, t0:t0 + t_tile, c, :] = vr
             out_im_ref[0, t0:t0 + t_tile, c, :] = vi
 
 
 def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile):
     stg = stage(params, sobs)
+    S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    NN = N * N
     l, m = stg.lrow[0], stg.mrow[0]
     lmn = jnp.stack([
         jnp.tile(l[None, :], (N, 1)).reshape(-1),
         jnp.tile(m[:, None], (1, N)).reshape(-1),
         stg.n_yx.reshape(-1),
     ])
-    po_full = (stg.po_x[:, None, :] + stg.po_y[:, :, None]).reshape(-1, N * N)
-    extra_specs = [
-        pl.BlockSpec((3, N * N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, N * N), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    kernel = functools.partial(
-        _kernel_direct, T=T, C=C, N=N,
-        t_tile=min(t_tile, T), recurrence=recurrence,
+    po_full = (
+        stg.po_x[:, 0, None, :] + stg.po_y[:, 0, :, None]
+    ).reshape(-1, 1, NN)
+    sub_flat = (
+        subgrids[0].reshape(S, P_POLS, NN),
+        subgrids[1].reshape(S, P_POLS, NN),
     )
-    return _grid_call(
-        params, stg, subgrids, kernel, (lmn, po_full), extra_specs, interpret
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = functools.partial(
+        _kernel_direct, T=T, C=C, N=N, t_tile=min(t_tile, T),
+        recurrence=recurrence,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, T, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, NN), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, NN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, NN), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NN), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + _at_specs(NN, flat=True),
+        out_specs=(
+            pl.BlockSpec((1, T, C, P_POLS), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C, P_POLS), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((S, T, C, P_POLS), jnp.float32),
+        jax.ShapeDtypeStruct((S, T, C, P_POLS), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.uvw, stg.wavenumbers, po_full, lmn,
+        sub_flat[0], sub_flat[1], stg.sph_flat,
+        stg.at_re_flat, stg.at_im_flat, stg.at_re_flat, stg.at_im_flat,
     )
 
 
@@ -208,89 +182,121 @@ def degridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
 # --------------------------------------------------------------------------
 
 def _kernel_separable(aidx, st1, st2,
-                      uvw_ref, k_ref, pox_ref, poy_ref, woff_ref,
+                      upc_ref, vpc_ref, muc_ref,
+                      pox_ref, poy_ref, mrow_ref, npack_ref,
                       sub_re_ref, sub_im_ref,
-                      mrow_ref, npack_ref,
                       sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
                       out_re_ref, out_im_ref,
-                      *, T, C, N, w_rank, precisions):
-    """vis[v,p] = Σ_r conj(coef_r) Σ_x Φx*[v,x] Σ_y Φy*[v,y]·(n^r ⊙ pix)[y, p·N+x]
+                      *, V, N, w_rank, precisions):
+    """vis[v,p] = Σ_r conj(coef_r) Σ_x Φx*[v,x] Σ_y Φy*[v,y]·(n^r⊙pix)[y, p·N+x]
 
     Stage 1 (Σ_y) is a packed complex matmul [V, 2N]×[2N, 2·N·P] per rank;
     stage 2 (Σ_x) is a per-pol lane reduction against Φx*."""
-    V = T * C
     NP = N * P_POLS
-    pix = _prologue(sub_re_ref, sub_im_ref, sph_ref,
-                    a1re_ref, a1im_ref, a2re_ref, a2im_ref)
-    # B0 [N(y), P·N(x)]: col p·N+x
-    b_re = jnp.concatenate([p[0] for p in pix], axis=1)
+    sph = sph_ref[...]                               # [N, N]
+    sub = [(sub_re_ref[0, p], sub_im_ref[0, p]) for p in range(P_POLS)]
+    a1 = [(a1re_ref[0, 0, p], a1im_ref[0, 0, p]) for p in range(P_POLS)]
+    a2 = [(a2re_ref[0, 0, p], a2im_ref[0, 0, p]) for p in range(P_POLS)]
+    pix = _prologue(sub, sph, a1, a2)
+    b_re = jnp.concatenate([p[0] for p in pix], axis=1)   # [N(y), P·N(x)]
     b_im = jnp.concatenate([p[1] for p in pix], axis=1)
 
-    uvw = uvw_ref[0]
-    k = k_ref[0]
-    up = (uvw[:, 0:1] * k[None, :]).reshape(V, 1)
-    vp = (uvw[:, 1:2] * k[None, :]).reshape(V, 1)
-    wp = (uvw[:, 2:3] * k[None, :]).reshape(V, 1)
-    mu = woff_ref[0, 0] - wp                        # [V, 1]
+    up = upc_ref[0]                                  # [V, 1]
+    vp = vpc_ref[0]                                  # [V, 1]
+    mu = muc_ref[0]                                  # [V, 1]
+    m_row = mrow_ref[...]                            # [1, N]
 
-    m_row = mrow_ref[...]                           # [1, N]
-    phase_y = poy_ref[...] - vp * m_row             # [V, N]
+    phase_y = poy_ref[0] - vp * m_row                # [V, N]
     phy_re, phy_im = jnp.cos(phase_y), jnp.sin(phase_y)
-    lhs = jnp.concatenate([phy_re, -phy_im], axis=1)   # Φy*: [V, 2N]
+    lhs = jnp.concatenate([phy_re, -phy_im], axis=1)    # Φy*: [V, 2N]
 
-    phase_x = pox_ref[...] - up * m_row             # [V, N]
+    phase_x = pox_ref[0] - up * m_row                # [V, N]
     phx_re, phx_im = jnp.cos(phase_x), jnp.sin(phase_x)
 
-    npack = npack_ref[...]                          # [N, P·N]
-    acc_re = jnp.zeros((V, P_POLS), jnp.float32)
-    acc_im = jnp.zeros((V, P_POLS), jnp.float32)
-    cr, ci = jnp.ones_like(mu), jnp.zeros_like(mu)
+    npack = npack_ref[...]                           # [N, P·N]
+    cols_re = [jnp.zeros((V, 1), jnp.float32) for _ in range(P_POLS)]
+    cols_im = [jnp.zeros((V, 1), jnp.float32) for _ in range(P_POLS)]
+    cr = jnp.ones_like(mu)
+    ci = jnp.zeros_like(mu)
     npow = jnp.ones_like(npack)
     for r in range(w_rank):
         if r:
-            # conj coefficient (−iμ)^r/r!
+            # conj coefficient (−iμ)^r/r!: multiply by −iμ/r
             cr, ci = ci * mu / r, -cr * mu / r
             npow = npow * npack
+        br = b_re * npow
+        bi = b_im * npow
         rhs = jnp.concatenate(
             [
-                jnp.concatenate([b_re * npow, b_im * npow], axis=1),
-                jnp.concatenate([-(b_im * npow), b_re * npow], axis=1),
+                jnp.concatenate([br, bi], axis=1),
+                jnp.concatenate([-bi, br], axis=1),
             ],
             axis=0,
         )                                            # [2N, 2NP]
-        prod = jnp.dot(
-            lhs, rhs,
-            preferred_element_type=jnp.float32,
-            precision=precisions[min(r, len(precisions) - 1)],
+        prod = _dot_mixed(
+            lhs, rhs, precisions[min(r, len(precisions) - 1)]
         )                                            # [V, 2NP]
-        r_re, r_im = prod[:, 0:NP], prod[:, NP:2 * NP]
         for p in range(P_POLS):
-            rp_re = r_re[:, p * N:(p + 1) * N]       # [V, N(x)]
-            rp_im = r_im[:, p * N:(p + 1) * N]
+            rp_re = prod[:, p * N:(p + 1) * N]       # [V, N(x)]
+            rp_im = prod[:, NP + p * N:NP + (p + 1) * N]
             sr, si = kcmul_conj(rp_re, rp_im, phx_re, phx_im)
             vr = jnp.sum(sr, axis=1, keepdims=True)  # [V, 1]
             vi = jnp.sum(si, axis=1, keepdims=True)
             er, ei = kcmul(vr, vi, cr, ci)
-            acc_re = acc_re.at[:, p:p + 1].add(er)
-            acc_im = acc_im.at[:, p:p + 1].add(ei)
-    out_re_ref[0] = acc_re.reshape(T, C, P_POLS)
-    out_im_ref[0] = acc_im.reshape(T, C, P_POLS)
+            cols_re[p] = cols_re[p] + er
+            cols_im[p] = cols_im[p] + ei
+    out_re_ref[0] = jnp.concatenate(cols_re, axis=1)   # [V, P]
+    out_im_ref[0] = jnp.concatenate(cols_im, axis=1)
 
 
 def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret):
     stg = stage(params, sobs)
+    S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    V = T * C
     npack = jnp.tile(stg.n_yx, (1, P_POLS))
-    extra_specs = [
-        pl.BlockSpec((1, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-    ]
+    if interpret is None:
+        interpret = use_interpret()
     kernel = functools.partial(
-        _kernel_separable, T=T, C=C, N=N, w_rank=w_rank, precisions=precisions
+        _kernel_separable, V=V, N=N, w_rank=w_rank, precisions=precisions
     )
-    return _grid_call(
-        params, stg, subgrids, kernel, (stg.mrow, npack), extra_specs, interpret
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + _at_specs(N, flat=False),
+        out_specs=(
+            pl.BlockSpec((1, V, P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V, P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((S, V, P_POLS), jnp.float32),
+        jax.ShapeDtypeStruct((S, V, P_POLS), jnp.float32),
+    )
+    re, im = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.up_col, stg.vp_col, stg.mu_col,
+        stg.po_x, stg.po_y, stg.mrow, npack,
+        subgrids[0], subgrids[1], stg.sph,
+        stg.at_re, stg.at_im, stg.at_re, stg.at_im,
+    )
+    return re.reshape(S, T, C, P_POLS), im.reshape(S, T, C, P_POLS)
 
 
 @register(
@@ -313,5 +319,5 @@ def degridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
 def degridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2):
     return _degridder_separable(
-        params, sobs, subgrids, w_rank, ("high", "default"), interpret
+        params, sobs, subgrids, w_rank, ("3x", "default"), interpret
     )

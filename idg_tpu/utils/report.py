@@ -16,7 +16,7 @@ from typing import Optional
 from ..config import get_env_var
 
 
-def _metrics(seconds, gflops, gbytes, mvis, joules):
+def _metrics(seconds, gflops, gbytes, mvis, joules, roofline=None):
     rows = [("ms", seconds * 1e3)]
     if gflops:
         rows.append(("GFLOP/s", gflops / seconds))
@@ -30,6 +30,8 @@ def _metrics(seconds, gflops, gbytes, mvis, joules):
         rows.append(("W", joules / seconds))
         rows.append(("GFLOP/s/W", gflops / joules))
         rows.append(("MVis/J", mvis / joules))
+    if roofline is not None:
+        rows.append(("roofline_pct", 100.0 * roofline))
     return rows
 
 
@@ -40,10 +42,11 @@ def report(
     gbytes: float = 0.0,
     mvis: float = 0.0,
     joules: float = 0.0,
+    roofline: Optional[float] = None,
 ) -> None:
-    """Console one-liner (common.cpp:27-56 format)."""
+    """Console one-liner (common.cpp:27-56 format; roofline % is new)."""
     parts = [f"{name:>20s}: {seconds * 1e3:7.2f} ms"]
-    for label, value in _metrics(seconds, gflops, gbytes, mvis, joules)[1:]:
+    for label, value in _metrics(seconds, gflops, gbytes, mvis, joules, roofline)[1:]:
         parts.append(f"{value:7.2f} {label}")
     print(", ".join(parts))
 
@@ -58,6 +61,7 @@ def report_csv(
     mvis: float = 0.0,
     joules: float = 0.0,
     output_path: Optional[str] = None,
+    roofline: Optional[float] = None,
 ) -> Optional[str]:
     """CSV emitter (common.cpp:58-98). Returns the written path."""
     if not device_name or not file_extension:
