@@ -76,10 +76,14 @@ def _perf_one(workload: str, version: str, mesh_size: int | None) -> float:
     timing = time_kernel(fn, *args, harness=harness)
     gflops, gbytes, mvis = workload_costs(params)
     name = f"{workload}_{version}"
-    report(name, timing.seconds, gflops, gbytes, mvis)
+    dev = device_name()
+    from .utils.roofline import roofline_fraction
+
+    roofline = roofline_fraction(gflops / timing.seconds, gflops, gbytes, dev)
+    report(name, timing.seconds, gflops, gbytes, mvis, roofline=roofline)
     report_csv(
-        name, device_name(), CSV_EXT, timing.seconds, gflops, gbytes, mvis,
-        output_path=harness.output_path,
+        name, dev, CSV_EXT, timing.seconds, gflops, gbytes, mvis,
+        output_path=harness.output_path, roofline=roofline,
     )
     return timing.seconds
 

@@ -48,17 +48,19 @@ class Staged:
     uvw: jnp.ndarray        # f32[S, T, 3]
     vis_re: jnp.ndarray     # f32[S, T, C, P]
     vis_im: jnp.ndarray     # f32[S, T, C, P]
-    vis_re_vp: jnp.ndarray  # f32[S, V, P]
-    vis_im_vp: jnp.ndarray  # f32[S, V, P]
-    up_col: jnp.ndarray     # f32[S, V, 1]  u·k_c
-    vp_col: jnp.ndarray     # f32[S, V, 1]  v·k_c
-    vp_row: jnp.ndarray     # f32[S, 1, V]
-    mu_col: jnp.ndarray     # f32[S, V, 1]  w_off − w·k_c
+    vis_re_pv: jnp.ndarray  # f32[S, P, V]  (pol rows, lanes = V)
+    vis_im_pv: jnp.ndarray  # f32[S, P, V]
+    up_row: jnp.ndarray     # f32[S, 1, V]  u·k_c
+    vp_row: jnp.ndarray     # f32[S, 1, V]  v·k_c
+    mu_row: jnp.ndarray     # f32[S, 1, V]  w_off − w·k_c
     wavenumbers: jnp.ndarray  # f32[1, C]
     po_x: jnp.ndarray       # f32[S, 1, N]
     po_y: jnp.ndarray       # f32[S, 1, N]
+    po_x_col: jnp.ndarray   # f32[S, N, 1]
+    po_y_col: jnp.ndarray   # f32[S, N, 1]
     lrow: jnp.ndarray       # f32[1, N]
     mrow: jnp.ndarray       # f32[1, N]
+    mcol: jnp.ndarray       # f32[N, 1]
     n_yx: jnp.ndarray       # f32[N, N]  (n[y, x])
     sph: jnp.ndarray        # f32[N, N]
     sph_flat: jnp.ndarray   # f32[1, N²]
@@ -98,17 +100,19 @@ def stage(params: IDGParams, sobs: SplitObservation) -> Staged:
         uvw=uvw,
         vis_re=vis_re,
         vis_im=vis_im,
-        vis_re_vp=vis_re.reshape(S, V, P),
-        vis_im_vp=vis_im.reshape(S, V, P),
-        up_col=up[:, :, None],
-        vp_col=vp[:, :, None],
+        vis_re_pv=jnp.moveaxis(vis_re.reshape(S, V, P), 2, 1),
+        vis_im_pv=jnp.moveaxis(vis_im.reshape(S, V, P), 2, 1),
+        up_row=up[:, None, :],
         vp_row=vp[:, None, :],
-        mu_col=mu[:, :, None],
+        mu_row=mu[:, None, :],
         wavenumbers=k[None, :],
         po_x=po_x[:, None, :],
         po_y=po_y[:, None, :],
+        po_x_col=po_x[:, :, None],
+        po_y_col=po_y[:, :, None],
         lrow=l[None, :],
         mrow=m[None, :],
+        mcol=m[:, None],
         n_yx=n,
         sph=sobs.spheroidal,
         sph_flat=sobs.spheroidal.reshape(1, nn),

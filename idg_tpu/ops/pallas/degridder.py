@@ -182,16 +182,18 @@ def degridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
 # --------------------------------------------------------------------------
 
 def _kernel_separable(aidx, st1, st2,
-                      upc_ref, vpc_ref, muc_ref,
-                      pox_ref, poy_ref, mrow_ref, npack_ref,
+                      upr_ref, vpr_ref, mur_ref,
+                      poxc_ref, poyc_ref, mcol_ref, npackt_ref,
                       sub_re_ref, sub_im_ref,
                       sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
                       out_re_ref, out_im_ref,
                       *, V, N, w_rank, precisions):
     """vis[v,p] = Σ_r conj(coef_r) Σ_x Φx*[v,x] Σ_y Φy*[v,y]·(n^r⊙pix)[y, p·N+x]
 
-    Stage 1 (Σ_y) is a packed complex matmul [V, 2N]×[2N, 2·N·P] per rank;
-    stage 2 (Σ_x) is a per-pol lane reduction against Φx*."""
+    V-on-lanes orientation: stage 1 contracts y via dot_general over the
+    SHARED LEADING axis of B [N(y), NP] and Φyᵀ [N(y), V] (no transposes
+    materialized); stage 2 is a full-lane-width elementwise contraction
+    against Φx*ᵀ [N, V] reduced over sublanes."""
     NP = N * P_POLS
     sph = sph_ref[...]                               # [N, N]
     sub = [(sub_re_ref[0, p], sub_im_ref[0, p]) for p in range(P_POLS)]
@@ -201,52 +203,47 @@ def _kernel_separable(aidx, st1, st2,
     b_re = jnp.concatenate([p[0] for p in pix], axis=1)   # [N(y), P·N(x)]
     b_im = jnp.concatenate([p[1] for p in pix], axis=1)
 
-    up = upc_ref[0]                                  # [V, 1]
-    vp = vpc_ref[0]                                  # [V, 1]
-    mu = muc_ref[0]                                  # [V, 1]
-    m_row = mrow_ref[...]                            # [1, N]
+    up = upr_ref[0]                                  # [1, V]
+    vp = vpr_ref[0]                                  # [1, V]
+    mu = mur_ref[0]                                  # [1, V]
+    m_col = mcol_ref[...]                            # [N, 1]
 
-    phase_y = poy_ref[0] - vp * m_row                # [V, N]
+    phase_y = poyc_ref[0] - m_col * vp               # [N, V]
     phy_re, phy_im = jnp.cos(phase_y), jnp.sin(phase_y)
-    lhs = jnp.concatenate([phy_re, -phy_im], axis=1)    # Φy*: [V, 2N]
 
-    phase_x = pox_ref[0] - up * m_row                # [V, N]
+    phase_x = poxc_ref[0] - m_col * up               # [N, V]
     phx_re, phx_im = jnp.cos(phase_x), jnp.sin(phase_x)
 
-    npack = npack_ref[...]                           # [N, P·N]
-    cols_re = [jnp.zeros((V, 1), jnp.float32) for _ in range(P_POLS)]
-    cols_im = [jnp.zeros((V, 1), jnp.float32) for _ in range(P_POLS)]
+    npackt = npackt_ref[...]                         # [N(y), P·N]
+    rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+    rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
     cr = jnp.ones_like(mu)
     ci = jnp.zeros_like(mu)
-    npow = jnp.ones_like(npack)
+    npow = jnp.ones_like(npackt)
+    # contract the shared leading (y) axis: [N, NP] × [N, V] -> [NP, V]
+    dims = (((0,), (0,)), ((), ()))
     for r in range(w_rank):
         if r:
             # conj coefficient (−iμ)^r/r!: multiply by −iμ/r
             cr, ci = ci * mu / r, -cr * mu / r
-            npow = npow * npack
+            npow = npow * npackt
         br = b_re * npow
         bi = b_im * npow
-        rhs = jnp.concatenate(
-            [
-                jnp.concatenate([br, bi], axis=1),
-                jnp.concatenate([-bi, br], axis=1),
-            ],
-            axis=0,
-        )                                            # [2N, 2NP]
-        prod = _dot_mixed(
-            lhs, rhs, precisions[min(r, len(precisions) - 1)]
-        )                                            # [V, 2NP]
+        mode = precisions[min(r, len(precisions) - 1)]
+        # R^T = Φy*·B transposed: Cr^T = brᵀΦy_re + biᵀΦy_im, etc.
+        cr_t = _dot_mixed(br, phy_re, mode, dims=dims) + _dot_mixed(bi, phy_im, mode, dims=dims)
+        ci_t = _dot_mixed(bi, phy_re, mode, dims=dims) - _dot_mixed(br, phy_im, mode, dims=dims)
         for p in range(P_POLS):
-            rp_re = prod[:, p * N:(p + 1) * N]       # [V, N(x)]
-            rp_im = prod[:, NP + p * N:NP + (p + 1) * N]
+            rp_re = cr_t[p * N:(p + 1) * N, :]       # [N(x), V]
+            rp_im = ci_t[p * N:(p + 1) * N, :]
             sr, si = kcmul_conj(rp_re, rp_im, phx_re, phx_im)
-            vr = jnp.sum(sr, axis=1, keepdims=True)  # [V, 1]
-            vi = jnp.sum(si, axis=1, keepdims=True)
+            vr = jnp.sum(sr, axis=0, keepdims=True)  # [1, V]
+            vi = jnp.sum(si, axis=0, keepdims=True)
             er, ei = kcmul(vr, vi, cr, ci)
-            cols_re[p] = cols_re[p] + er
-            cols_im[p] = cols_im[p] + ei
-    out_re_ref[0] = jnp.concatenate(cols_re, axis=1)   # [V, P]
-    out_im_ref[0] = jnp.concatenate(cols_im, axis=1)
+            rows_re[p] = rows_re[p] + er
+            rows_im[p] = rows_im[p] + ei
+    out_re_ref[0] = jnp.concatenate(rows_re, axis=0)   # [P, V]
+    out_im_ref[0] = jnp.concatenate(rows_im, axis=0)
 
 
 def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret):
@@ -264,25 +261,25 @@ def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret):
         num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ] + _at_specs(N, flat=False),
         out_specs=(
-            pl.BlockSpec((1, V, P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     out_shape = (
-        jax.ShapeDtypeStruct((S, V, P_POLS), jnp.float32),
-        jax.ShapeDtypeStruct((S, V, P_POLS), jnp.float32),
+        jax.ShapeDtypeStruct((S, P_POLS, V), jnp.float32),
+        jax.ShapeDtypeStruct((S, P_POLS, V), jnp.float32),
     )
     re, im = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
@@ -291,12 +288,14 @@ def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret):
         ),
     )(
         stg.aterm_index, stg.station1, stg.station2,
-        stg.up_col, stg.vp_col, stg.mu_col,
-        stg.po_x, stg.po_y, stg.mrow, npack,
+        stg.up_row, stg.vp_row, stg.mu_row,
+        stg.po_x_col, stg.po_y_col, stg.mcol, npack,
         subgrids[0], subgrids[1], stg.sph,
         stg.at_re, stg.at_im, stg.at_re, stg.at_im,
     )
-    return re.reshape(S, T, C, P_POLS), im.reshape(S, T, C, P_POLS)
+    re = jnp.moveaxis(re, 1, 2).reshape(S, T, C, P_POLS)
+    im = jnp.moveaxis(im, 1, 2).reshape(S, T, C, P_POLS)
+    return re, im
 
 
 @register(

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -38,23 +39,28 @@ from .common import jones_gridder, kcmul, stage, use_interpret
 P_POLS = 4
 
 
-def _dot_mixed(lhs, rhs, mode: str):
+def _dot_mixed(lhs, rhs, mode: str, transpose_rhs: bool = False, dims=None):
     """MXU matmul with explicit pass control. Mosaic exposes only DEFAULT
     (1 bf16 pass) and HIGHEST (6 passes) — emulate bf16_3x ("3x", f32-quality
-    at half the HIGHEST cost) by hi/lo bf16 mantissa splitting."""
-    if mode in ("highest", "default"):
-        return jnp.dot(
-            lhs, rhs, preferred_element_type=jnp.float32, precision=mode
+    at half the HIGHEST cost) by hi/lo bf16 mantissa splitting.
+    `transpose_rhs` contracts rhs's LAST axis (A·Bᵀ); `dims` overrides the
+    dot_general dimension numbers entirely (to contract without relayouts)."""
+    if dims is None:
+        dims = (((1,), (1,)), ((), ())) if transpose_rhs else (((1,), (0,)), ((), ()))
+
+    def d(a, b, precision=None):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=precision,
         )
+
+    if mode in ("highest", "default"):
+        return d(lhs, rhs, mode)
     assert mode == "3x", mode
     lh = lhs.astype(jnp.bfloat16)
     ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
     rh = rhs.astype(jnp.bfloat16)
     rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def d(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
     return d(lh, rh) + (d(lh, rl) + d(ll, rh))
 
 
@@ -108,9 +114,12 @@ def _kernel_direct(aidx, st1, st2,
     po = po_ref[0]                        # [1, N²]
     lmn = lmn_ref[...]                    # [3, N²]
     dk = k[1] - k[0] if C > 1 else jnp.float32(0.0)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=jnp.float32, precision="highest"
-    )
+    def dot(v, ph):
+        # [Tt, P] × [Tt, N²] -> [P, N²], contracting the time axis
+        return lax.dot_general(
+            v, ph, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision="highest",
+        )
 
     acc_re = jnp.zeros((P_POLS, NN), jnp.float32)
     acc_im = jnp.zeros((P_POLS, NN), jnp.float32)
@@ -131,8 +140,9 @@ def _kernel_direct(aidx, st1, st2,
             else:
                 phase = po - pi * k[c]
                 pc_re, pc_im = jnp.cos(phase), jnp.sin(phase)
-            vr = vre_ref[0, t0:t0 + t_tile, c, :].T          # [P, Tt]
-            vi = vim_ref[0, t0:t0 + t_tile, c, :].T
+            vr = vre_ref[0, t0:t0 + t_tile, c, :]            # [Tt, P]
+            vi = vim_ref[0, t0:t0 + t_tile, c, :]
+            # acc[p, pix] += Σ_t vis[t,p]·phasor[t,pix]  (contract time)
             acc_re = acc_re + dot(vr, pc_re) - dot(vi, pc_im)
             acc_im = acc_im + dot(vr, pc_im) + dot(vi, pc_re)
 
@@ -222,35 +232,34 @@ def gridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
 # --------------------------------------------------------------------------
 
 def _kernel_separable(aidx, st1, st2,
-                      upc_ref, vpr_ref, muc_ref, vre_ref, vim_ref,
-                      pox_ref, poy_ref, mrow_ref, mcol_ref, poyc_ref,
-                      npack_ref,
+                      upr_ref, vpr_ref, mur_ref, vre_ref, vim_ref,
+                      poxc_ref, poyc_ref, mcol_ref, npack_ref,
                       sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
                       out_re_ref, out_im_ref,
                       *, V, N, w_rank, precisions):
-    """Separable MAC (see ops/xla/separable.py for the math):
-      LHS  [2N, V]        = [Φyᵀ_re ; Φyᵀ_im]
-      RHS  [V, 2·(P·N)]   per rank, W cols p·N+x: Φx[v,x]·ṽ_r[v,p]
-      out  rows y, cols p·N+x  → per-pol [N,N] tiles, native subgrid layout.
-    `precisions[r]` sets the MXU pass count per rank (v4: ('high','default'))."""
+    """Separable MAC (see ops/xla/separable.py for the math), V-on-lanes
+    orientation (every elementwise op runs at full 128-lane width):
+      LHS   [2N, V]   = [Φyᵀ_re ; Φyᵀ_im]
+      RHSᵀ  [2NP, V]  per rank, row p·N+x: Φxᵀ[x,v]·ṽ_r[p,v]
+      prod  [2N, 2NP] via dot_general contracting the shared V axis
+      → per-pol [N,N] tiles (rows y, cols p·N+x), native subgrid layout.
+    `precisions[r]` sets the MXU pass count per rank (v4: ('3x','default'))."""
     NP = N * P_POLS
-    up = upc_ref[0]                                 # [V, 1]
+    up = upr_ref[0]                                 # [1, V]
     vp = vpr_ref[0]                                 # [1, V]
-    mu = muc_ref[0]                                 # [V, 1]
-    m_row = mrow_ref[...]                           # [1, N]
+    mu = mur_ref[0]                                 # [1, V]
     m_col = mcol_ref[...]                           # [N, 1]
-    poy_col = poyc_ref[0]                           # [N, 1]
 
-    # Φyᵀ [N, V]: po_y[y] − v'_v·m[y]  (LHS rows; lanes = V)
-    phase_y = poy_col - m_col * vp                  # [N, V]
+    # Φyᵀ [N, V]: po_y[y] − v'_v·m[y]
+    phase_y = poyc_ref[0] - m_col * vp              # [N, V]
     lhs = jnp.concatenate([jnp.cos(phase_y), jnp.sin(phase_y)], axis=0)
 
-    # Φx [V, N]: po_x[x] − u'_v·l[x]
-    phase_x = pox_ref[0] - up * m_row               # [V, N] (l ≡ m grid)
+    # Φxᵀ [N, V]: po_x[x] − u'_v·l[x]
+    phase_x = poxc_ref[0] - m_col * up              # [N, V] (l ≡ m grid)
     phx_re = jnp.cos(phase_x)
     phx_im = jnp.sin(phase_x)
 
-    vre = vre_ref[0]                                # [V, P]
+    vre = vre_ref[0]                                # [P, V]
     vim = vim_ref[0]
 
     outs = []
@@ -262,14 +271,15 @@ def _kernel_separable(aidx, st1, st2,
             cr, ci = -ci * mu / r, cr * mu / r
         parts_re, parts_im = [], []
         for p in range(P_POLS):
-            tr = vre[:, p:p + 1] * cr - vim[:, p:p + 1] * ci   # [V, 1]
-            ti = vre[:, p:p + 1] * ci + vim[:, p:p + 1] * cr
-            w_re, w_im = kcmul(phx_re, phx_im, tr, ti)         # [V, N]
+            tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci         # [1, V]
+            ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
+            w_re, w_im = kcmul(phx_re, phx_im, tr, ti)         # [N, V]
             parts_re.append(w_re)
             parts_im.append(w_im)
-        rhs = jnp.concatenate(parts_re + parts_im, axis=1)     # [V, 2NP]
+        rhs_t = jnp.concatenate(parts_re + parts_im, axis=0)   # [2NP, V]
         prod = _dot_mixed(
-            lhs, rhs, precisions[min(r, len(precisions) - 1)]
+            lhs, rhs_t, precisions[min(r, len(precisions) - 1)],
+            transpose_rhs=True,
         )                                                      # [2N, 2NP]
         c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
         c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
@@ -301,8 +311,6 @@ def _gridder_separable(params, sobs, w_rank, precisions, interpret):
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     V = T * C
     npack = jnp.tile(stg.n_yx, (1, P_POLS))        # [N, P·N], col p·N+x
-    m_col = stg.mrow.T                             # [N, 1] (XLA-side transpose)
-    poy_col = jnp.swapaxes(stg.po_y, 1, 2)         # [S, N, 1]
     if interpret is None:
         interpret = use_interpret()
     kernel = functools.partial(
@@ -312,16 +320,14 @@ def _gridder_separable(params, sobs, w_rank, precisions, interpret):
         num_scalar_prefetch=3,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V, P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ] + _at_specs(N, flat=False),
@@ -341,8 +347,8 @@ def _gridder_separable(params, sobs, w_rank, precisions, interpret):
         ),
     )(
         stg.aterm_index, stg.station1, stg.station2,
-        stg.up_col, stg.vp_row, stg.mu_col, stg.vis_re_vp, stg.vis_im_vp,
-        stg.po_x, stg.po_y, stg.mrow, m_col, poy_col, npack, stg.sph,
+        stg.up_row, stg.vp_row, stg.mu_row, stg.vis_re_pv, stg.vis_im_pv,
+        stg.po_x_col, stg.po_y_col, stg.mcol, npack, stg.sph,
         stg.at_re, stg.at_im, stg.at_re, stg.at_im,
     )
 

@@ -73,7 +73,7 @@ def report_csv(
     file_path = os.path.join(path, f"{device_name}-{name}{file_extension}")
     print(file_path)
     with open(file_path, "w") as f:
-        for label, value in _metrics(seconds, gflops, gbytes, mvis, joules):
+        for label, value in _metrics(seconds, gflops, gbytes, mvis, joules, roofline):
             f.write(f"{label},{value:.2f}\n")
     return file_path
 
