@@ -7,7 +7,8 @@ go through here.
 
 from __future__ import annotations
 
-from functools import lru_cache
+import inspect
+from functools import lru_cache, partial
 
 import jax
 import numpy as np
@@ -20,13 +21,30 @@ from ..types import (
     split_complex,
     split_observation,
 )
+from .common import canonical_time_offsets
 from .registry import get_kernel
 
 
 @lru_cache(maxsize=None)
-def _jitted(workload: str, version: str):
+def _accepts_canonical(workload: str, version: str) -> bool:
     fn = get_kernel(workload, version).fn
+    return "canonical" in inspect.signature(fn).parameters
+
+
+@lru_cache(maxsize=None)
+def _jitted(workload: str, version: str, canonical: bool = False):
+    fn = get_kernel(workload, version).fn
+    if canonical:
+        fn = partial(fn, canonical=True)
     return jax.jit(fn, static_argnums=0)
+
+
+def _canonical(workload, version, params, obs) -> bool:
+    """Host-side canonical-layout detection (time_offset[s] == s·T) for
+    kernels that expose the gather-skip fast path."""
+    return _accepts_canonical(workload, version) and canonical_time_offsets(
+        obs.metadata, params.nr_timesteps_subgrid
+    )
 
 
 def run_gridder(
@@ -34,7 +52,8 @@ def run_gridder(
 ) -> np.ndarray:
     """Run a gridder kernel; returns c64[S, P, N, N] (host)."""
     sobs = split_observation(obs)
-    re, im = _jitted("gridder", version)(params, sobs)
+    fn = _jitted("gridder", version, _canonical("gridder", version, params, obs))
+    re, im = fn(params, sobs)
     return combine_complex(np.asarray(re), np.asarray(im))
 
 
@@ -44,7 +63,8 @@ def run_degridder(
     """Run a degridder kernel; returns c64[S, T, C, P] (host)."""
     sobs = split_observation(obs)
     sub_pair = split_complex(subgrids)
-    re, im = _jitted("degridder", version)(params, sobs, sub_pair)
+    fn = _jitted("degridder", version, _canonical("degridder", version, params, obs))
+    re, im = fn(params, sobs, sub_pair)
     return combine_complex(np.asarray(re), np.asarray(im))
 
 
@@ -53,7 +73,7 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     the timed call contains only device work (the reference times bare
     kernel launches the same way, app/CUDA/util.cpp:109-126)."""
     sobs = jax.device_put(split_observation(obs))
-    jit_fn = _jitted(workload, version)
+    jit_fn = _jitted(workload, version, _canonical(workload, version, params, obs))
     if workload == "gridder":
         return jit_fn, (params, sobs)
     sub_pair = jax.device_put(split_complex(subgrids))

@@ -65,6 +65,25 @@ def phase_offset_exact(params: IDGParams, metadata: Metadata):
     return po
 
 
+def canonical_time_offsets(metadata, nr_timesteps: int) -> bool:
+    """True iff time_offset[s] == s·T — the layout every in-tree generator
+    produces (init.cpp:134-159 semantics). Host-side check (concrete arrays
+    only); lets kernels skip the flat-time gather, which costs ~6 ms per
+    array per 900 subgrids on TPU.
+    """
+    import numpy as np
+
+    try:
+        off = np.asarray(metadata.time_offset)
+    except Exception:
+        return False
+    if off.ndim != 1:
+        return False
+    return bool(
+        np.array_equal(off, np.arange(off.shape[0], dtype=np.int64) * nr_timesteps)
+    )
+
+
 def gather_time(flat, time_offset, nr_timesteps: int):
     """[S, T, ...] gather of a flat time axis via metadata offsets.
 

@@ -73,14 +73,22 @@ class Staged:
     station2: jnp.ndarray   # i32[S]
 
 
-def stage(params: IDGParams, sobs: SplitObservation) -> Staged:
+def stage(params: IDGParams, sobs: SplitObservation,
+          canonical: bool = False) -> Staged:
     md = sobs.metadata
     T = params.nr_timesteps_subgrid
     C, P = params.nr_channels, params.nr_correlations
-    S = md.nr_subgrids if hasattr(md, "nr_subgrids") else sobs.uvw.shape[0]
-    uvw = gather_time(sobs.uvw.reshape(-1, 3), md.time_offset, T)
-    vis_re = gather_time(sobs.vis_re.reshape(-1, C, P), md.time_offset, T)
-    vis_im = gather_time(sobs.vis_im.reshape(-1, C, P), md.time_offset, T)
+    if canonical:
+        # time_offset[s] == s·T (ops/common.canonical_time_offsets): the
+        # metadata gather is the identity — skipping it saves ~6 ms per
+        # gathered array per 900 subgrids on TPU.
+        uvw = sobs.uvw.reshape(-1, T, 3)
+        vis_re = sobs.vis_re.reshape(-1, T, C, P)
+        vis_im = sobs.vis_im.reshape(-1, T, C, P)
+    else:
+        uvw = gather_time(sobs.uvw.reshape(-1, 3), md.time_offset, T)
+        vis_re = gather_time(sobs.vis_re.reshape(-1, C, P), md.time_offset, T)
+        vis_im = gather_time(sobs.vis_im.reshape(-1, C, P), md.time_offset, T)
     S = uvw.shape[0]
     V = T * C
     po_x, po_y = phase_offset_parts(params, md)

@@ -102,8 +102,9 @@ def _kernel_direct(aidx, st1, st2,
             out_im_ref[0, t0:t0 + t_tile, c, :] = vi
 
 
-def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile):
-    stg = stage(params, sobs)
+def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile,
+                      canonical=False):
+    stg = stage(params, sobs, canonical)
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     NN = N * N
@@ -163,8 +164,11 @@ def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile):
     family="pallas",
 )
 def degridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
-                        subgrids: Pair, interpret=None, t_tile: int = 16):
-    return _degridder_direct(params, sobs, subgrids, False, interpret, t_tile)
+                        subgrids: Pair, interpret=None, t_tile: int = 16,
+                        canonical=False):
+    return _degridder_direct(
+        params, sobs, subgrids, False, interpret, t_tile, canonical
+    )
 
 
 @register(
@@ -173,8 +177,11 @@ def degridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
     family="pallas",
 )
 def degridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
-                        subgrids: Pair, interpret=None, t_tile: int = 32):
-    return _degridder_direct(params, sobs, subgrids, True, interpret, t_tile)
+                        subgrids: Pair, interpret=None, t_tile: int = 32,
+                        canonical=False):
+    return _degridder_direct(
+        params, sobs, subgrids, True, interpret, t_tile, canonical
+    )
 
 
 # --------------------------------------------------------------------------
@@ -246,8 +253,9 @@ def _kernel_separable(aidx, st1, st2,
     out_im_ref[0] = jnp.concatenate(rows_im, axis=0)
 
 
-def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret):
-    stg = stage(params, sobs)
+def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret,
+                         canonical=False):
+    stg = stage(params, sobs, canonical)
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     V = T * C
@@ -304,9 +312,11 @@ def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret):
     family="pallas",
 )
 def degridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
-                        subgrids: Pair, interpret=None, w_rank: int = 2):
+                        subgrids: Pair, interpret=None, w_rank: int = 2,
+                        canonical=False):
     return _degridder_separable(
-        params, sobs, subgrids, w_rank, ("highest",), interpret
+        params, sobs, subgrids, w_rank, ("highest",), interpret,
+        canonical=canonical,
     )
 
 
@@ -316,7 +326,9 @@ def degridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
     family="pallas",
 )
 def degridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
-                        subgrids: Pair, interpret=None, w_rank: int = 2):
+                        subgrids: Pair, interpret=None, w_rank: int = 2,
+                        canonical=False):
     return _degridder_separable(
-        params, sobs, subgrids, w_rank, ("3x", "default"), interpret
+        params, sobs, subgrids, w_rank, ("3x", "default"), interpret,
+        canonical=canonical,
     )

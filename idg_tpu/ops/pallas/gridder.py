@@ -155,8 +155,8 @@ def _kernel_direct(aidx, st1, st2,
         out_im_ref[0, p:p + 1, :] = i
 
 
-def _gridder_direct(params, sobs, recurrence, interpret, t_tile):
-    stg = stage(params, sobs)
+def _gridder_direct(params, sobs, recurrence, interpret, t_tile, canonical=False):
+    stg = stage(params, sobs, canonical)
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     NN = N * N
@@ -213,8 +213,8 @@ def _gridder_direct(params, sobs, recurrence, interpret, t_tile):
     family="pallas",
 )
 def gridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
-                      interpret=None, t_tile: int = 16):
-    return _gridder_direct(params, sobs, False, interpret, t_tile)
+                      interpret=None, t_tile: int = 16, canonical=False):
+    return _gridder_direct(params, sobs, False, interpret, t_tile, canonical)
 
 
 @register(
@@ -223,8 +223,8 @@ def gridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
     family="pallas",
 )
 def gridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
-                      interpret=None, t_tile: int = 32):
-    return _gridder_direct(params, sobs, True, interpret, t_tile)
+                      interpret=None, t_tile: int = 32, canonical=False):
+    return _gridder_direct(params, sobs, True, interpret, t_tile, canonical)
 
 
 # --------------------------------------------------------------------------
@@ -236,7 +236,7 @@ def _kernel_separable(aidx, st1, st2,
                       poxc_ref, poyc_ref, mcol_ref, npack_ref,
                       sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
                       out_re_ref, out_im_ref,
-                      *, V, N, w_rank, precisions):
+                      *, V, N, w_rank, precisions, ablate=""):
     """Separable MAC (see ops/xla/separable.py for the math), V-on-lanes
     orientation (every elementwise op runs at full 128-lane width):
       LHS   [2N, V]   = [Φyᵀ_re ; Φyᵀ_im]
@@ -252,12 +252,15 @@ def _kernel_separable(aidx, st1, st2,
 
     # Φyᵀ [N, V]: po_y[y] − v'_v·m[y]
     phase_y = poyc_ref[0] - m_col * vp              # [N, V]
-    lhs = jnp.concatenate([jnp.cos(phase_y), jnp.sin(phase_y)], axis=0)
-
     # Φxᵀ [N, V]: po_x[x] − u'_v·l[x]
     phase_x = poxc_ref[0] - m_col * up              # [N, V] (l ≡ m grid)
-    phx_re = jnp.cos(phase_x)
-    phx_im = jnp.sin(phase_x)
+    if ablate == "no_sincos":  # debug: isolate transcendental cost
+        lhs = jnp.concatenate([phase_y, phase_y], axis=0)
+        phx_re, phx_im = phase_x, -phase_x
+    else:
+        lhs = jnp.concatenate([jnp.cos(phase_y), jnp.sin(phase_y)], axis=0)
+        phx_re = jnp.cos(phase_x)
+        phx_im = jnp.sin(phase_x)
 
     vre = vre_ref[0]                                # [P, V]
     vim = vim_ref[0]
@@ -277,10 +280,21 @@ def _kernel_separable(aidx, st1, st2,
             parts_re.append(w_re)
             parts_im.append(w_im)
         rhs_t = jnp.concatenate(parts_re + parts_im, axis=0)   # [2NP, V]
-        prod = _dot_mixed(
-            lhs, rhs_t, precisions[min(r, len(precisions) - 1)],
-            transpose_rhs=True,
-        )                                                      # [2N, 2NP]
+        if ablate == "no_matmul":  # debug: keep W live, skip the MXU stage
+            c_re = lhs[0:N, 0:NP] + rhs_t[0:N, 0:NP]
+            c_im = lhs[N:2 * N, 0:NP] + rhs_t[NP:NP + N, 0:NP]
+            outs.append((c_re, c_im))
+            continue
+        if ablate == "tmatmul":  # debug: explicit transposes + Aᵀ·B pattern
+            prod = _dot_mixed(
+                lhs.T, rhs_t.T, precisions[min(r, len(precisions) - 1)],
+                dims=(((0,), (0,)), ((), ())),
+            )
+        else:
+            prod = _dot_mixed(
+                lhs, rhs_t, precisions[min(r, len(precisions) - 1)],
+                transpose_rhs=True,
+            )                                                  # [2N, 2NP]
         c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
         c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
         outs.append((c_re, c_im))
@@ -305,8 +319,9 @@ def _kernel_separable(aidx, st1, st2,
         out_im_ref[0, p] = i_
 
 
-def _gridder_separable(params, sobs, w_rank, precisions, interpret):
-    stg = stage(params, sobs)
+def _gridder_separable(params, sobs, w_rank, precisions, interpret, ablate="",
+                       canonical=False):
+    stg = stage(params, sobs, canonical)
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     V = T * C
@@ -314,7 +329,8 @@ def _gridder_separable(params, sobs, w_rank, precisions, interpret):
     if interpret is None:
         interpret = use_interpret()
     kernel = functools.partial(
-        _kernel_separable, V=V, N=N, w_rank=w_rank, precisions=precisions
+        _kernel_separable, V=V, N=N, w_rank=w_rank, precisions=precisions,
+        ablate=ablate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -359,8 +375,10 @@ def _gridder_separable(params, sobs, w_rank, precisions, interpret):
     family="pallas",
 )
 def gridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
-                      interpret=None, w_rank: int = 2):
-    return _gridder_separable(params, sobs, w_rank, ("highest",), interpret)
+                      interpret=None, w_rank: int = 2, canonical=False):
+    return _gridder_separable(
+        params, sobs, w_rank, ("highest",), interpret, canonical=canonical
+    )
 
 
 @register(
@@ -369,5 +387,7 @@ def gridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
     family="pallas",
 )
 def gridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
-                      interpret=None, w_rank: int = 2):
-    return _gridder_separable(params, sobs, w_rank, ("3x", "default"), interpret)
+                      interpret=None, w_rank: int = 2, canonical=False):
+    return _gridder_separable(
+        params, sobs, w_rank, ("3x", "default"), interpret, canonical=canonical
+    )

@@ -73,3 +73,35 @@ def test_gridder_pallas_w_rank_matters_for_nonzero_w(small_params, small_obs):
     got1 = combine_complex(np.asarray(re), np.asarray(im))
     r1 = check_error(got1, golden, verbose=False)
     assert r1.mean_error > result.mean_error
+
+
+def test_canonical_fast_path_matches_gather_path(small_params, small_obs):
+    """The gather-skip fast path must be bit-identical to the general path
+    on canonical data, and the API must auto-detect canonical layouts."""
+    import jax
+
+    from idg_tpu.ops.common import canonical_time_offsets
+    from idg_tpu.ops.registry import get_kernel
+    from idg_tpu.types import split_observation
+
+    assert canonical_time_offsets(
+        small_obs.metadata, small_params.nr_timesteps_subgrid
+    )
+    sobs = split_observation(small_obs)
+    fn = get_kernel("gridder", "pallas_v3").fn
+    slow = jax.jit(lambda s: fn(small_params, s, canonical=False))(sobs)
+    fast = jax.jit(lambda s: fn(small_params, s, canonical=True))(sobs)
+    np.testing.assert_array_equal(np.asarray(slow[0]), np.asarray(fast[0]))
+    np.testing.assert_array_equal(np.asarray(slow[1]), np.asarray(fast[1]))
+
+
+def test_non_canonical_layout_detected(small_params, small_obs):
+    import dataclasses
+
+    from idg_tpu.ops.common import canonical_time_offsets
+
+    md = small_obs.metadata
+    off = np.array(md.time_offset, copy=True)
+    off[0], off[1] = off[1], off[0]
+    md2 = dataclasses.replace(md, time_offset=off)
+    assert not canonical_time_offsets(md2, small_params.nr_timesteps_subgrid)
