@@ -50,9 +50,13 @@ class Staged:
     vis_im: jnp.ndarray     # f32[S, T, C, P]
     vis_re_pv: jnp.ndarray  # f32[S, P, V]  (pol rows, lanes = V)
     vis_im_pv: jnp.ndarray  # f32[S, P, V]
-    up_row: jnp.ndarray     # f32[S, 1, V]  u·k_c
+    up_row: jnp.ndarray     # f32[S, 1, V]  u·k_c (t-major: v = t·C+c)
     vp_row: jnp.ndarray     # f32[S, 1, V]  v·k_c
     mu_row: jnp.ndarray     # f32[S, 1, V]  w_off − w·k_c
+    uvw_rows: jnp.ndarray   # f32[S, 3, T]  raw uvw rows (u/v/w on sublanes)
+    mu_row_cm: jnp.ndarray  # f32[S, 1, V]  μ, c-major (v = c·T+t)
+    vis_re_pv_cm: jnp.ndarray  # f32[S, P, V]  c-major
+    vis_im_pv_cm: jnp.ndarray  # f32[S, P, V]
     wavenumbers: jnp.ndarray  # f32[1, C]
     po_x: jnp.ndarray       # f32[S, 1, N]
     po_y: jnp.ndarray       # f32[S, 1, N]
@@ -113,6 +117,10 @@ def stage(params: IDGParams, sobs: SplitObservation,
         up_row=up[:, None, :],
         vp_row=vp[:, None, :],
         mu_row=mu[:, None, :],
+        uvw_rows=jnp.moveaxis(uvw, 1, 2),
+        mu_row_cm=jnp.swapaxes(mu.reshape(S, T, C), 1, 2).reshape(S, 1, V),
+        vis_re_pv_cm=jnp.transpose(vis_re, (0, 3, 2, 1)).reshape(S, P, V),
+        vis_im_pv_cm=jnp.transpose(vis_im, (0, 3, 2, 1)).reshape(S, P, V),
         wavenumbers=k[None, :],
         po_x=po_x[:, None, :],
         po_y=po_y[:, None, :],

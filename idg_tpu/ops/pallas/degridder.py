@@ -237,9 +237,13 @@ def _kernel_separable(aidx, st1, st2,
         br = b_re * npow
         bi = b_im * npow
         mode = precisions[min(r, len(precisions) - 1)]
-        # R^T = Φy*·B transposed: Cr^T = brᵀΦy_re + biᵀΦy_im, etc.
-        cr_t = _dot_mixed(br, phy_re, mode, dims=dims) + _dot_mixed(bi, phy_im, mode, dims=dims)
-        ci_t = _dot_mixed(bi, phy_re, mode, dims=dims) - _dot_mixed(br, phy_im, mode, dims=dims)
+        # R^T = Φy*·B transposed, as ONE packed dot per rank:
+        # [N, 2NP]×[N, 2V] -> [2NP, 2V] holds all four real products.
+        b2 = jnp.concatenate([br, bi], axis=1)             # [N, 2NP]
+        phy2 = jnp.concatenate([phy_re, phy_im], axis=1)   # [N, 2V]
+        prod = _dot_mixed(b2, phy2, mode, dims=dims)       # [2NP, 2V]
+        cr_t = prod[0:NP, 0:V] + prod[NP:2 * NP, V:2 * V]
+        ci_t = prod[NP:2 * NP, 0:V] - prod[0:NP, V:2 * V]
         for p in range(P_POLS):
             rp_re = cr_t[p * N:(p + 1) * N, :]       # [N(x), V]
             rp_im = ci_t[p * N:(p + 1) * N, :]
@@ -331,4 +335,164 @@ def degridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
     return _degridder_separable(
         params, sobs, subgrids, w_rank, ("3x", "default"), interpret,
         canonical=canonical,
+    )
+
+
+# --------------------------------------------------------------------------
+# pallas_v5: separable phasor with channel-recurrence generation (c-major)
+# --------------------------------------------------------------------------
+
+def _kernel_sep_recur(aidx, st1, st2,
+                      uvwr_ref, mur_ref, k_ref,
+                      poxc_ref, poyc_ref, mcol_ref, npack_ref,
+                      sub_re_ref, sub_im_ref,
+                      sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
+                      out_re_ref, out_im_ref,
+                      phyr_s, phyi_s, phxr_s, phxi_s,
+                      *, V, N, T, C, w_rank, precisions):
+    """v4's packed stage-1 dot, with Φ planes generated by the channel
+    recurrence (O(N·T) sincos; see gridder pallas_v5). c-major lanes;
+    assumes uniform channel spacing."""
+    NP = N * P_POLS
+    sph = sph_ref[...]
+    sub = [(sub_re_ref[0, p], sub_im_ref[0, p]) for p in range(P_POLS)]
+    a1 = [(a1re_ref[0, 0, p], a1im_ref[0, 0, p]) for p in range(P_POLS)]
+    a2 = [(a2re_ref[0, 0, p], a2im_ref[0, 0, p]) for p in range(P_POLS)]
+    pix = _prologue(sub, sph, a1, a2)
+    b_re = jnp.concatenate([p[0] for p in pix], axis=1)   # [N(y), P·N(x)]
+    b_im = jnp.concatenate([p[1] for p in pix], axis=1)
+
+    uvw = uvwr_ref[0]                               # [3, T]
+    k0 = k_ref[0, 0]
+    dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
+    m_col = mcol_ref[...]                           # [N, 1]
+    u_row = uvw[0:1, :]
+    v_row = uvw[1:2, :]
+    py = poyc_ref[0] - m_col * (v_row * k0)         # [N, T]
+    px = poxc_ref[0] - m_col * (u_row * k0)
+    dpy = -(m_col * (v_row * dk))
+    dpx = -(m_col * (u_row * dk))
+    cy_re, cy_im = jnp.cos(py), jnp.sin(py)
+    cx_re, cx_im = jnp.cos(px), jnp.sin(px)
+    dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
+    dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
+    for c in range(C):
+        lo = c * T
+        phyr_s[:, lo:lo + T] = cy_re
+        phyi_s[:, lo:lo + T] = cy_im
+        phxr_s[:, lo:lo + T] = cx_re
+        phxi_s[:, lo:lo + T] = cx_im
+        if c + 1 < C:
+            cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
+            cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+    phy_re = phyr_s[...]
+    phy_im = phyi_s[...]
+    phx_re = phxr_s[...]
+    phx_im = phxi_s[...]
+
+    mu = mur_ref[0]                                 # [1, V]
+    npackt = npack_ref[...]
+    rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+    rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+    cr = jnp.ones_like(mu)
+    ci = jnp.zeros_like(mu)
+    npow = jnp.ones_like(npackt)
+    dims = (((0,), (0,)), ((), ()))
+    for r in range(w_rank):
+        if r:
+            cr, ci = ci * mu / r, -cr * mu / r
+            npow = npow * npackt
+        br = b_re * npow
+        bi = b_im * npow
+        mode = precisions[min(r, len(precisions) - 1)]
+        b2 = jnp.concatenate([br, bi], axis=1)             # [N, 2NP]
+        phy2 = jnp.concatenate([phy_re, phy_im], axis=1)   # [N, 2V]
+        prod = _dot_mixed(b2, phy2, mode, dims=dims)       # [2NP, 2V]
+        cr_t = prod[0:NP, 0:V] + prod[NP:2 * NP, V:2 * V]
+        ci_t = prod[NP:2 * NP, 0:V] - prod[0:NP, V:2 * V]
+        for p in range(P_POLS):
+            rp_re = cr_t[p * N:(p + 1) * N, :]
+            rp_im = ci_t[p * N:(p + 1) * N, :]
+            sr, si = kcmul_conj(rp_re, rp_im, phx_re, phx_im)
+            vr = jnp.sum(sr, axis=0, keepdims=True)
+            vi = jnp.sum(si, axis=0, keepdims=True)
+            er, ei = kcmul(vr, vi, cr, ci)
+            rows_re[p] = rows_re[p] + er
+            rows_im[p] = rows_im[p] + ei
+    out_re_ref[0] = jnp.concatenate(rows_re, axis=0)
+    out_im_ref[0] = jnp.concatenate(rows_im, axis=0)
+
+
+def _degridder_sep_recur(params, sobs, subgrids, w_rank, precisions, interpret,
+                         canonical=False):
+    stg = stage(params, sobs, canonical)
+    S = stg.uvw.shape[0]
+    T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    V = T * C
+    npack = jnp.tile(stg.n_yx, (1, P_POLS))
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = functools.partial(
+        _kernel_sep_recur, V=V, N=N, T=T, C=C, w_rank=w_rank,
+        precisions=precisions,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 3, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + _at_specs(N, flat=False),
+        out_specs=(
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((S, P_POLS, V), jnp.float32),
+        jax.ShapeDtypeStruct((S, P_POLS, V), jnp.float32),
+    )
+    re, im = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.uvw_rows, stg.mu_row_cm, stg.wavenumbers,
+        stg.po_x_col, stg.po_y_col, stg.mcol, npack,
+        subgrids[0], subgrids[1], stg.sph,
+        stg.at_re, stg.at_im, stg.at_re, stg.at_im,
+    )
+    # c-major rows [P, V=C·T] → [S, T, C, P]
+    re = jnp.transpose(re.reshape(S, P_POLS, C, T), (0, 3, 2, 1))
+    im = jnp.transpose(im.reshape(S, P_POLS, C, T), (0, 3, 2, 1))
+    return re, im
+
+
+@register(
+    "degridder", "pallas_v5",
+    "v4 + channel-recurrence phasor generation: O(N·T) sincos, c-major lanes",
+    family="pallas",
+)
+def degridder_pallas_v5(params: IDGParams, sobs: SplitObservation,
+                        subgrids: Pair, interpret=None, w_rank: int = 2,
+                        canonical=False):
+    # Uniform channel spacing assumed (reference v8's assumption).
+    return _degridder_sep_recur(
+        params, sobs, subgrids, w_rank, ("3x", "default"), interpret, canonical
     )

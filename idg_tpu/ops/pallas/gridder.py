@@ -391,3 +391,165 @@ def gridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
     return _gridder_separable(
         params, sobs, w_rank, ("3x", "default"), interpret, canonical=canonical
     )
+
+
+# --------------------------------------------------------------------------
+# pallas_v5: separable phasor with channel-recurrence generation (c-major)
+# --------------------------------------------------------------------------
+
+def _kernel_sep_recur(aidx, st1, st2,
+                      uvwr_ref, mur_ref, vre_ref, vim_ref, k_ref,
+                      poxc_ref, poyc_ref, mcol_ref, npack_ref,
+                      sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
+                      out_re_ref, out_im_ref,
+                      lhs_s, phxr_s, phxi_s,
+                      *, V, N, T, C, w_rank, precisions):
+    """v4's packed MXU matmul, but the Φ planes are GENERATED by the
+    channel recurrence (gridder_v8.cu:135-186 idea applied to phasor
+    construction): sincos only for the channel-0 plane and the per-channel
+    delta — 2·(base+delta)·2 axes = O(N·T) transcendentals instead of
+    O(N·V). Effective visibilities are c-major (v = c·T + t) so each
+    channel writes one contiguous lane block of the scratch planes.
+    Assumes uniform channel spacing (init.cpp:27-36 data always is)."""
+    NP = N * P_POLS
+    uvw = uvwr_ref[0]                               # [3, T]
+    k0 = k_ref[0, 0]
+    dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
+    m_col = mcol_ref[...]                           # [N, 1]
+    u_row = uvw[0:1, :]                             # [1, T]
+    v_row = uvw[1:2, :]
+
+    py = poyc_ref[0] - m_col * (v_row * k0)         # [N, T]
+    px = poxc_ref[0] - m_col * (u_row * k0)
+    dpy = -(m_col * (v_row * dk))
+    dpx = -(m_col * (u_row * dk))
+    cy_re, cy_im = jnp.cos(py), jnp.sin(py)
+    cx_re, cx_im = jnp.cos(px), jnp.sin(px)
+    dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
+    dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
+    for c in range(C):
+        lo = c * T
+        lhs_s[0:N, lo:lo + T] = cy_re
+        lhs_s[N:2 * N, lo:lo + T] = cy_im
+        phxr_s[:, lo:lo + T] = cx_re
+        phxi_s[:, lo:lo + T] = cx_im
+        if c + 1 < C:
+            cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
+            cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+    lhs = lhs_s[...]                                # [2N, V]
+    phx_re = phxr_s[...]                            # [N, V]
+    phx_im = phxi_s[...]
+
+    mu = mur_ref[0]                                 # [1, V] (c-major)
+    vre = vre_ref[0]                                # [P, V] (c-major)
+    vim = vim_ref[0]
+
+    outs = []
+    cr = jnp.ones_like(mu)
+    ci = jnp.zeros_like(mu)
+    for r in range(w_rank):
+        if r:
+            cr, ci = -ci * mu / r, cr * mu / r
+        parts_re, parts_im = [], []
+        for p in range(P_POLS):
+            tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci
+            ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
+            w_re, w_im = kcmul(phx_re, phx_im, tr, ti)
+            parts_re.append(w_re)
+            parts_im.append(w_im)
+        rhs_t = jnp.concatenate(parts_re + parts_im, axis=0)   # [2NP, V]
+        prod = _dot_mixed(
+            lhs, rhs_t, precisions[min(r, len(precisions) - 1)],
+            transpose_rhs=True,
+        )                                                      # [2N, 2NP]
+        c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
+        c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
+        outs.append((c_re, c_im))
+
+    npack = npack_ref[...]
+    pix_re, pix_im = outs[0]
+    npow = npack
+    for r in range(1, w_rank):
+        pix_re = pix_re + outs[r][0] * npow
+        pix_im = pix_im + outs[r][1] * npow
+        npow = npow * npack
+
+    sph = sph_ref[...]
+    pix = [
+        (pix_re[:, p * N:(p + 1) * N], pix_im[:, p * N:(p + 1) * N])
+        for p in range(P_POLS)
+    ]
+    a1 = [(a1re_ref[0, 0, p], a1im_ref[0, 0, p]) for p in range(P_POLS)]
+    a2 = [(a2re_ref[0, 0, p], a2im_ref[0, 0, p]) for p in range(P_POLS)]
+    for p, (r_, i_) in enumerate(_epilogue(pix, sph, a1, a2)):
+        out_re_ref[0, p] = r_
+        out_im_ref[0, p] = i_
+
+
+def _gridder_sep_recur(params, sobs, w_rank, precisions, interpret,
+                       canonical=False):
+    stg = stage(params, sobs, canonical)
+    S = stg.uvw.shape[0]
+    T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    V = T * C
+    npack = jnp.tile(stg.n_yx, (1, P_POLS))
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = functools.partial(
+        _kernel_sep_recur, V=V, N=N, T=T, C=C, w_rank=w_rank,
+        precisions=precisions,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 3, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + _at_specs(N, flat=False),
+        out_specs=(
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((S, P_POLS, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((S, P_POLS, N, N), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.uvw_rows, stg.mu_row_cm, stg.vis_re_pv_cm, stg.vis_im_pv_cm,
+        stg.wavenumbers, stg.po_x_col, stg.po_y_col, stg.mcol, npack, stg.sph,
+        stg.at_re, stg.at_im, stg.at_re, stg.at_im,
+    )
+
+
+@register(
+    "gridder", "pallas_v5",
+    "v4 + channel-recurrence phasor generation: O(N·T) sincos, c-major lanes",
+    family="pallas",
+)
+def gridder_pallas_v5(params: IDGParams, sobs: SplitObservation,
+                      interpret=None, w_rank: int = 2, canonical=False):
+    # Uniform channel spacing assumed (reference v8 makes the same
+    # assumption; init.cpp frequencies always satisfy it).
+    return _gridder_sep_recur(
+        params, sobs, w_rank, ("3x", "default"), interpret, canonical
+    )

@@ -100,7 +100,7 @@ def sharded_gridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
 
     @partial(
         jax.shard_map, mesh=mesh, in_specs=(specs,),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False,
     )
     def local(sobs):
         return kernel(params, _localize_time_offset(sobs, params, axis))
@@ -117,7 +117,7 @@ def sharded_degridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(specs, (P(axis), P(axis))),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False,
     )
     def local(sobs, sub):
         return kernel(params, _localize_time_offset(sobs, params, axis), sub)
@@ -148,7 +148,10 @@ def sharded_gridder_to_grid(
     assert g % n_dev == 0, "grid rows must divide the mesh for psum_scatter"
     out_spec = (P(None, axis, None),) * 2 if grid_sharded else (P(), P())
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=out_spec)
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=out_spec,
+        check_vma=False,
+    )
     def local(sobs):
         sobs = _localize_time_offset(sobs, params, axis)
         sub = kernel(params, sobs)
@@ -187,7 +190,7 @@ def sharded_grid_to_degridder(
     @partial(
         jax.shard_map, mesh=mesh,
         in_specs=(specs, (P(), P())),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)), check_vma=False,
     )
     def local(sobs, grid):
         sobs = _localize_time_offset(sobs, params, axis)

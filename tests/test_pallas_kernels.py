@@ -12,7 +12,7 @@ from idg_tpu.models.reference import degridder_reference, gridder_reference
 from idg_tpu.ops.api import run_degridder, run_gridder
 from idg_tpu.utils.compare import check_error
 
-PALLAS_VERSIONS = ["pallas_v1", "pallas_v2", "pallas_v3", "pallas_v4"]
+PALLAS_VERSIONS = ["pallas_v1", "pallas_v2", "pallas_v3", "pallas_v4", "pallas_v5"]
 
 
 @pytest.fixture(scope="module")
