@@ -12,7 +12,10 @@ Rungs mirror the gridder family (SURVEY.md §2.4 degridder ladder):
              [V, 2N]×[2N, 2·N·P] matmul per w-rank; stage 2 contracts x on
              the VPU against Φx* (the x-contraction is per-visibility, so it
              stays elementwise — the adjoint of the gridder's KR matmul).
-  pallas_v4  v3 + mixed-precision MXU passes per rank.
+  pallas_v4  v3 + mixed-precision MXU passes per rank (stage 1 packed into
+             one [N,2NP]×[N,2V] dot per rank).
+  pallas_v5  v4 + channel-recurrence phasor generation (O(N·T) sincos,
+             c-major lanes; uniform channel spacing assumed).
 """
 
 from __future__ import annotations

@@ -19,6 +19,10 @@ SURVEY.md §2.4):
   pallas_v4  v3 + mixed-precision MXU passes: the rank-0 term runs bf16_3x
              ('high'), the rank-1 correction (≤1e-3 of the signal) runs
              single-pass bf16.
+  pallas_v5  v4 + channel-recurrence phasor GENERATION: sincos only for the
+             channel-0 Φ planes and the per-channel delta (O(N·T) instead of
+             O(N·V) transcendentals), c-major lanes, VMEM scratch planes.
+             Assumes uniform channel spacing, like GPU v8.
 """
 
 from __future__ import annotations
