@@ -22,6 +22,16 @@ START_FREQUENCY = 150.0e6
 FREQUENCY_INCREMENT = 0.7e6
 
 
+def round_to_pow_of_2(x: int) -> int:
+    """Round down to the nearest power of two (common.cpp:3-8 semantics)."""
+    if x < 1:
+        return 1
+    p = 1
+    while p * 2 <= x:
+        p *= 2
+    return p
+
+
 def get_env_var(name: str, default):
     """Env-var override with default (common.cpp:10-25 semantics)."""
     value = os.environ.get(name)

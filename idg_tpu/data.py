@@ -159,6 +159,35 @@ def initialize_subgrids(
     return np.broadcast_to(sub, (nr_subgrids, nr_correlations, subgrid_size, subgrid_size)).astype(np.complex64)
 
 
+def initialize_uvw_offsets(
+    params: IDGParams, metadata: Metadata
+) -> np.ndarray:
+    """Per-subgrid (u,v,w) offsets (init.cpp:182-199): the subgrid-constant
+    part of the phase, f32[S, 3]."""
+    n, g = params.subgrid_size, params.grid_size
+    scale = 2.0 * np.pi / params.image_size
+    u = (np.asarray(metadata.coord_x, np.float64) + n // 2 - g // 2) * scale
+    v = (np.asarray(metadata.coord_y, np.float64) + n // 2 - g // 2) * scale
+    w = 2.0 * np.pi * params.w_step * (
+        np.asarray(metadata.coord_z, np.float64) + 0.5
+    )
+    return np.stack([u, v, w], axis=-1).astype(np.float32)
+
+
+def initialize_lmn(subgrid_size: int, image_size: float) -> np.ndarray:
+    """Per-pixel direction cosines (init.cpp:201-222): f32[N, N, 3]
+    with (l[x], m[y], n[y,x])."""
+    xy = np.arange(subgrid_size, dtype=np.float64)
+    l = compute_l(xy, subgrid_size, image_size)
+    m = compute_m(xy, subgrid_size, image_size)
+    n = compute_n(l[None, :], m[:, None])
+    out = np.empty((subgrid_size, subgrid_size, 3), dtype=np.float32)
+    out[:, :, 0] = l[None, :]
+    out[:, :, 1] = m[:, None]
+    out[:, :, 2] = n
+    return out
+
+
 def make_observation(params: IDGParams, seed: int = 0, include_subgrids: bool = False):
     """Build a full synthetic observation with the reference's srand(0) draw
     order (tests/gridder_common.cpp:88-101): uvw, frequencies, wavenumbers,

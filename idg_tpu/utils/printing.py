@@ -84,6 +84,19 @@ def print_visibilities_diff(a: np.ndarray, b: np.ndarray, subgrid_idx: int = 0) 
             )
 
 
+class format_saver:
+    """Save/restore print formatting around dump helpers (the RAII
+    format_saver of print.hpp:29-43, as a NumPy printoptions context)."""
+
+    def __enter__(self):
+        self._saved = np.get_printoptions()
+        return self
+
+    def __exit__(self, *exc):
+        np.set_printoptions(**self._saved)
+        return False
+
+
 def print_device_info() -> None:
     """Device info banner (app/CUDA/util.cpp:25-45 analogue)."""
     import jax

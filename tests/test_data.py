@@ -123,3 +123,40 @@ def test_perf_observation(small_params):
     assert np.isfinite(obs.uvw).all()
     # perf-mode metadata uses the same draws as the reference perf driver
     assert (obs.metadata.coord_x < p.grid_size).all()
+
+
+def test_initialize_uvw_offsets_matches_oracle_internals(small_params):
+    from idg_tpu import make_observation
+    from idg_tpu.data import initialize_uvw_offsets
+    from idg_tpu.models.reference import _uvw_offsets
+
+    obs, _ = make_observation(small_params)
+    offsets = initialize_uvw_offsets(small_params, obs.metadata)
+    u, v, w = _uvw_offsets(small_params, obs.metadata)
+    np.testing.assert_allclose(offsets[:, 0], u.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(offsets[:, 1], v.astype(np.float32), rtol=1e-6)
+    np.testing.assert_allclose(offsets[:, 2], w.astype(np.float32), rtol=1e-6)
+
+
+def test_initialize_lmn_shapes_and_stability(small_params):
+    from idg_tpu.data import initialize_lmn
+
+    lmn = initialize_lmn(small_params.subgrid_size, small_params.image_size)
+    n = small_params.subgrid_size
+    assert lmn.shape == (n, n, 3)
+    assert np.all(lmn[:, :, 2] >= 0)
+    # n = 1 - sqrt(1 - l² - m²) to f32 accuracy
+    expected = 1.0 - np.sqrt(
+        1.0 - lmn[:, :, 0].astype(np.float64) ** 2 - lmn[:, :, 1].astype(np.float64) ** 2
+    )
+    np.testing.assert_allclose(lmn[:, :, 2], expected, atol=1e-7)
+
+
+def test_round_to_pow_of_2():
+    from idg_tpu.config import round_to_pow_of_2
+
+    assert round_to_pow_of_2(1) == 1
+    assert round_to_pow_of_2(2) == 2
+    assert round_to_pow_of_2(3) == 2
+    assert round_to_pow_of_2(1023) == 512
+    assert round_to_pow_of_2(1024) == 1024
