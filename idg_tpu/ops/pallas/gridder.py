@@ -227,7 +227,9 @@ def gridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
     family="pallas",
 )
 def gridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
-                      interpret=None, t_tile: int = 32, canonical=False):
+                      interpret=None, t_tile: int = 8, canonical=False):
+    # t_tile=8 keeps the unrolled recurrence chain small enough for the
+    # Mosaic compiler (t_tile=32 crashed the remote compile helper).
     return _gridder_direct(params, sobs, True, interpret, t_tile, canonical)
 
 
