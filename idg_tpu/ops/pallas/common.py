@@ -41,6 +41,20 @@ from ..common import (
 )
 
 
+def _register_pytree(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+
+    def flatten(obj):
+        return tuple(getattr(obj, name) for name in fields), None
+
+    def unflatten(_, children):
+        return cls(**dict(zip(fields, children)))
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@_register_pytree
 @dataclasses.dataclass(frozen=True)
 class Staged:
     """Arrays staged for a per-subgrid Pallas grid. V = T·C (t-major)."""

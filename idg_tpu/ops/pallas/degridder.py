@@ -262,7 +262,15 @@ def _kernel_separable(aidx, st1, st2,
 
 def _degridder_separable(params, sobs, subgrids, w_rank, precisions, interpret,
                          canonical=False):
-    stg = stage(params, sobs, canonical)
+    return _degridder_separable_run(
+        params, stage(params, sobs, canonical), subgrids, w_rank, precisions,
+        interpret,
+    )
+
+
+def _degridder_separable_run(params, stg, subgrids, w_rank, precisions,
+                             interpret):
+    """Launch-only phase (see gridder._gridder_separable_run)."""
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     V = T * C
@@ -428,7 +436,15 @@ def _kernel_sep_recur(aidx, st1, st2,
 
 def _degridder_sep_recur(params, sobs, subgrids, w_rank, precisions, interpret,
                          canonical=False):
-    stg = stage(params, sobs, canonical)
+    return _degridder_sep_recur_run(
+        params, stage(params, sobs, canonical), subgrids, w_rank, precisions,
+        interpret,
+    )
+
+
+def _degridder_sep_recur_run(params, stg, subgrids, w_rank, precisions,
+                             interpret):
+    """Launch-only phase."""
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     V = T * C
@@ -499,3 +515,15 @@ def degridder_pallas_v5(params: IDGParams, sobs: SplitObservation,
     return _degridder_sep_recur(
         params, sobs, subgrids, w_rank, ("3x", "default"), interpret, canonical
     )
+
+
+def degridder_pallas_v3_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
+    return _degridder_separable_run(params, stg, subgrids, w_rank, ("highest",), interpret)
+
+
+def degridder_pallas_v4_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
+    return _degridder_separable_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
+
+
+def degridder_pallas_v5_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
+    return _degridder_sep_recur_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
