@@ -234,3 +234,22 @@ def jones_degridder(p, a1, a2):
             yr, yi = kcmul(t1r, t1i, c1r, c1i)
             out.append((xr + yr, xi + yi))
     return out
+
+
+_PER_SUBGRID_FIELDS = (
+    "uvw", "vis_re", "vis_im", "vis_re_pv", "vis_im_pv",
+    "up_row", "vp_row", "mu_row", "uvw_rows", "mu_row_cm",
+    "vis_re_pv_cm", "vis_im_pv_cm", "po_x", "po_y", "po_x_col", "po_y_col",
+    "aterm_index", "station1", "station2",
+)
+
+
+def slice_staged(stg: Staged, lo: int, hi: int) -> Staged:
+    """Slice the subgrid axis of every per-subgrid staged array (replicated
+    planes pass through). Used to chunk very large grids: one pallas_call
+    per chunk keeps the remote AOT compile helper within its memory budget
+    (S=24500 single-call degridder modules crash it)."""
+    updates = {
+        name: getattr(stg, name)[lo:hi] for name in _PER_SUBGRID_FIELDS
+    }
+    return dataclasses.replace(stg, **updates)

@@ -32,7 +32,9 @@ from ...config import IDGParams
 from ...types import SplitObservation
 from ..complexpair import Pair
 from ..registry import register
-from .common import jones_degridder, kcmul, kcmul_conj, stage, use_interpret
+from .common import (
+    jones_degridder, kcmul, kcmul_conj, slice_staged, stage, use_interpret,
+)
 from .gridder import _at_specs, _dot_mixed
 
 P_POLS = 4
@@ -442,9 +444,36 @@ def _degridder_sep_recur(params, sobs, subgrids, w_rank, precisions, interpret,
     )
 
 
+MAX_CHUNK = 8192  # subgrids per pallas_call (compile-helper memory bound)
+
+
+def _chunked(run_one, params, stg, subgrids, *a, **kw):
+    """Split very large subgrid batches into multiple pallas_calls."""
+    S = stg.uvw.shape[0]
+    if S <= MAX_CHUNK:
+        return run_one(params, stg, subgrids, *a, **kw)
+    outs = []
+    for lo in range(0, S, MAX_CHUNK):
+        hi = min(lo + MAX_CHUNK, S)
+        sub_c = (subgrids[0][lo:hi], subgrids[1][lo:hi])
+        outs.append(run_one(params, slice_staged(stg, lo, hi), sub_c, *a, **kw))
+    return (
+        jnp.concatenate([o[0] for o in outs], axis=0),
+        jnp.concatenate([o[1] for o in outs], axis=0),
+    )
+
+
 def _degridder_sep_recur_run(params, stg, subgrids, w_rank, precisions,
                              interpret):
     """Launch-only phase."""
+    return _chunked(
+        _degridder_sep_recur_one, params, stg, subgrids, w_rank, precisions,
+        interpret,
+    )
+
+
+def _degridder_sep_recur_one(params, stg, subgrids, w_rank, precisions,
+                             interpret):
     S = stg.uvw.shape[0]
     T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
     V = T * C
@@ -527,3 +556,194 @@ def degridder_pallas_v4_staged(params, stg, subgrids, interpret=None, w_rank: in
 
 def degridder_pallas_v5_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
     return _degridder_sep_recur_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
+
+
+# --------------------------------------------------------------------------
+# pallas_v6: pol-stacked x-first adjoint (full-M MXU dot)
+# --------------------------------------------------------------------------
+
+def _kernel_polstack(aidx, st1, st2,
+                     uvwr_ref, mur_ref, k_ref,
+                     poxc_ref, poyc_ref, mcol_ref, n_ref,
+                     sub_re_ref, sub_im_ref,
+                     sph_ref, a1re_ref, a1im_ref, a2re_ref, a2im_ref,
+                     out_re_ref, out_im_ref,
+                     phyr_s, phyi_s, phxr_s, phxi_s,
+                     *, V, N, T, C, w_rank, precisions):
+    """x-first contraction with all four pols stacked on the matmul M axis:
+
+      D_p[y, v] = Σ_x B_p[y,x]·Φx*[v,x]   (one [4N, 2N]×[2N, 2V] dot/rank)
+      vis[v,p]  = conj(coef_r) Σ_y Φy*[v,y]·D_p[y,v]   (VPU sublane reduce)
+
+    M = 4N = 128 fills the MXU (v3-v5 run at M=64 or K=32); the intermediate
+    is [4N, 2V] — 4× smaller than v3-v5's [2NP, 2V] stage-1 output. Φ planes
+    are recurrence-generated as in v5 (uniform channel spacing assumed)."""
+    sph = sph_ref[...]
+    sub = [(sub_re_ref[0, p], sub_im_ref[0, p]) for p in range(P_POLS)]
+    a1 = [(a1re_ref[0, 0, p], a1im_ref[0, 0, p]) for p in range(P_POLS)]
+    a2 = [(a2re_ref[0, 0, p], a2im_ref[0, 0, p]) for p in range(P_POLS)]
+    pix = _prologue(sub, sph, a1, a2)               # per-pol [N(y), N(x)]
+
+    uvw = uvwr_ref[0]                               # [3, T]
+    k0 = k_ref[0, 0]
+    dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
+    m_col = mcol_ref[...]                           # [N, 1]
+    u_row = uvw[0:1, :]
+    v_row = uvw[1:2, :]
+    py = poyc_ref[0] - m_col * (v_row * k0)         # [N, T]
+    px = poxc_ref[0] - m_col * (u_row * k0)
+    dpy = -(m_col * (v_row * dk))
+    dpx = -(m_col * (u_row * dk))
+    cy_re, cy_im = jnp.cos(py), jnp.sin(py)
+    cx_re, cx_im = jnp.cos(px), jnp.sin(px)
+    dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
+    dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
+    for c in range(C):
+        lo = c * T
+        phyr_s[:, lo:lo + T] = cy_re
+        phyi_s[:, lo:lo + T] = cy_im
+        phxr_s[:, lo:lo + T] = cx_re
+        phxi_s[:, lo:lo + T] = cx_im
+        if c + 1 < C:
+            cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
+            cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+    phy_re = phyr_s[...]                            # [N, V]
+    phy_im = phyi_s[...]
+    phx_re = phxr_s[...]
+    phx_im = phxi_s[...]
+
+    # rhs [2N, 2V]: conj(Φx)ᵀ packed for the complex product
+    rhs = jnp.concatenate(
+        [
+            jnp.concatenate([phx_re, -phx_im], axis=1),
+            jnp.concatenate([phx_im, phx_re], axis=1),
+        ],
+        axis=0,
+    )
+
+    mu = mur_ref[0]                                 # [1, V]
+    n_yx = n_ref[...]                               # [N, N]
+    rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+    rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+    cr = jnp.ones_like(mu)
+    ci = jnp.zeros_like(mu)
+    npow = jnp.ones_like(n_yx)
+    for r in range(w_rank):
+        if r:
+            cr, ci = ci * mu / r, -cr * mu / r
+            npow = npow * n_yx
+        # lhs [4N, 2N]: pol-major stack of [B_re·n^r | B_im·n^r]
+        lhs = jnp.concatenate(
+            [
+                jnp.concatenate([p[0] * npow, p[1] * npow], axis=1)
+                for p in pix
+            ],
+            axis=0,
+        )
+        prod = _dot_mixed(
+            lhs, rhs, precisions[min(r, len(precisions) - 1)]
+        )                                            # [4N, 2V]
+        for p in range(P_POLS):
+            d_re = prod[p * N:(p + 1) * N, 0:V]      # [N(y), V]
+            d_im = prod[p * N:(p + 1) * N, V:2 * V]
+            sr = d_re * phy_re + d_im * phy_im       # · conj(Φy)ᵀ
+            si = d_im * phy_re - d_re * phy_im
+            vr = jnp.sum(sr, axis=0, keepdims=True)  # [1, V]
+            vi = jnp.sum(si, axis=0, keepdims=True)
+            er, ei = kcmul(vr, vi, cr, ci)
+            rows_re[p] = rows_re[p] + er
+            rows_im[p] = rows_im[p] + ei
+    out_re_ref[0] = jnp.concatenate(rows_re, axis=0)
+    out_im_ref[0] = jnp.concatenate(rows_im, axis=0)
+
+
+def _degridder_polstack(params, sobs, subgrids, w_rank, precisions, interpret,
+                        canonical=False):
+    return _degridder_polstack_run(
+        params, stage(params, sobs, canonical), subgrids, w_rank, precisions,
+        interpret,
+    )
+
+
+def _degridder_polstack_run(params, stg, subgrids, w_rank, precisions,
+                            interpret):
+    return _chunked(
+        _degridder_polstack_one, params, stg, subgrids, w_rank, precisions,
+        interpret,
+    )
+
+
+def _degridder_polstack_one(params, stg, subgrids, w_rank, precisions,
+                            interpret):
+    S = stg.uvw.shape[0]
+    T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    V = T * C
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = functools.partial(
+        _kernel_polstack, V=V, N=N, T=T, C=C, w_rank=w_rank,
+        precisions=precisions,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 3, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + _at_specs(N, flat=False),
+        out_specs=(
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((S, P_POLS, V), jnp.float32),
+        jax.ShapeDtypeStruct((S, P_POLS, V), jnp.float32),
+    )
+    re, im = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.uvw_rows, stg.mu_row_cm, stg.wavenumbers,
+        stg.po_x_col, stg.po_y_col, stg.mcol, stg.n_yx,
+        subgrids[0], subgrids[1], stg.sph,
+        stg.at_re, stg.at_im, stg.at_re, stg.at_im,
+    )
+    re = jnp.transpose(re.reshape(S, P_POLS, C, T), (0, 3, 2, 1))
+    im = jnp.transpose(im.reshape(S, P_POLS, C, T), (0, 3, 2, 1))
+    return re, im
+
+
+@register(
+    "degridder", "pallas_v6",
+    "pol-stacked x-first adjoint: full-M [4N,2N]x[2N,2V] MXU dot per rank",
+    family="pallas",
+)
+def degridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
+                        subgrids: Pair, interpret=None, w_rank: int = 2,
+                        canonical=False):
+    # Uniform channel spacing assumed (recurrence-generated phases).
+    return _degridder_polstack(
+        params, sobs, subgrids, w_rank, ("3x", "default"), interpret, canonical
+    )
+
+
+def degridder_pallas_v6_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
+    return _degridder_polstack_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)

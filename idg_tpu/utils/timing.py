@@ -64,27 +64,42 @@ def time_kernel(
     _force(out)
 
     # Estimate the fixed sync/fetch overhead on an already-materialized
-    # output (queue empty → measures only the D2H round trip).
-    t0 = time.perf_counter()
-    _force(out)
-    sync_overhead = time.perf_counter() - t0
+    # output (queue empty → measures only the D2H round trip). Take the min
+    # of several trials: this cost is subtracted from the window, so noise
+    # here corrupts short measurements.
+    sync_overhead = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(out)
+        sync_overhead = min(sync_overhead, time.perf_counter() - t0)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    t0 = time.perf_counter()
-    for _ in range(cfg.nr_iterations):
-        out = fn(*args)
-    _force(out)
-    total = time.perf_counter() - t0
+    def window(iters: int) -> float:
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(iters):
+            o = fn(*args)
+        _force(o)
+        return time.perf_counter() - t0
+
+    iters = cfg.nr_iterations
+    total = window(iters)
+    # Keep the launch window ≫ the sync cost being subtracted; otherwise
+    # sync jitter dominates the estimate (seen at ±2 ms on the tunneled
+    # platform). Grow the iteration count until the window is 10× sync.
+    while total < 10.0 * sync_overhead and iters < 4096:
+        iters = min(4096, max(iters * 4, int(iters * 12.0 * sync_overhead / max(total, 1e-9))))
+        total = window(iters)
 
     if profile_dir:
         jax.profiler.stop_trace()
 
-    per_iter = max(total - sync_overhead, 1e-12) / cfg.nr_iterations
+    per_iter = max(total - sync_overhead, 1e-12) / iters
     return TimingResult(
         seconds=per_iter,
-        iterations=cfg.nr_iterations,
+        iterations=iters,
         warmup_runs=cfg.nr_warm_up_runs,
         all_seconds=(total,),
         sync_overhead=sync_overhead,

@@ -13,6 +13,7 @@ from idg_tpu.ops.api import run_degridder, run_gridder
 from idg_tpu.utils.compare import check_error
 
 PALLAS_VERSIONS = ["pallas_v1", "pallas_v2", "pallas_v3", "pallas_v4", "pallas_v5"]
+DEGRIDDER_EXTRA = ["pallas_v6"]
 
 
 @pytest.fixture(scope="module")
@@ -37,7 +38,7 @@ def test_gridder_pallas_vs_golden(version, small_params, small_obs, golden_gridd
     assert result.passed, f"{version}: error {result.mean_error}"
 
 
-@pytest.mark.parametrize("version", PALLAS_VERSIONS)
+@pytest.mark.parametrize("version", PALLAS_VERSIONS + DEGRIDDER_EXTRA)
 def test_degridder_pallas_vs_golden(version, small_params, small_obs, golden_degridder):
     sub, golden = golden_degridder
     got = run_degridder(small_params, small_obs, sub, version=version)
