@@ -81,6 +81,8 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
 
     if (workload, version) in STAGED:
         from .common import canonical_time_offsets
+        from .pallas.common import slice_staged
+        from .pallas.degridder import MAX_CHUNK
 
         stage_fn, run_fn = STAGED[(workload, version)]
         canonical = canonical_time_offsets(
@@ -93,7 +95,53 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         run_jit = jax.jit(run_fn, static_argnums=0)
         if workload == "gridder":
             return run_jit, (params, stg)
-        return run_jit, (params, stg, sub_pair)
+        s = stg.uvw.shape[0]
+        if s <= MAX_CHUNK:
+            return run_jit, (params, stg, sub_pair)
+        # Very large batches: chunk OUTSIDE jit — one single-kernel module
+        # per chunk shape (multi-kernel / oversize modules crash the remote
+        # AOT compile helper on the tunneled platform). The batch is padded
+        # up to whole chunks (≤0.4% extra work, pessimistic direction) so
+        # the measurement still covers every real subgrid; chunks share one
+        # compiled executable and the timed fn sums their launches.
+        import jax.numpy as jnp
+        import math
+
+        n_chunks = math.ceil(s / MAX_CHUNK)
+        s_pad = n_chunks * MAX_CHUNK
+        if s_pad != s:
+            from .pallas.common import _PER_SUBGRID_FIELDS
+            import dataclasses as _dc
+
+            pad = s_pad - s
+            updates = {
+                name: jnp.pad(
+                    getattr(stg, name),
+                    [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+                )
+                for name in _PER_SUBGRID_FIELDS
+            }
+            stg = _dc.replace(stg, **updates)
+            sub_pair = tuple(
+                jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+                for x in sub_pair
+            )
+        chunks = []
+        for lo in range(0, s_pad, MAX_CHUNK):
+            hi = lo + MAX_CHUNK
+            chunks.append((
+                slice_staged(stg, lo, hi),
+                (sub_pair[0][lo:hi], sub_pair[1][lo:hi]),
+            ))
+        jax.block_until_ready(jax.tree_util.tree_leaves(chunks))
+
+        def fn(params, chunk_list):
+            out = None
+            for stg_c, sub_c in chunk_list:
+                out = run_jit(params, stg_c, sub_c)
+            return out
+
+        return fn, (params, chunks)
 
     jit_fn = _jitted(workload, version, _canonical(workload, version, params, obs))
     if workload == "gridder":

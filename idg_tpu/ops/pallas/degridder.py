@@ -448,19 +448,41 @@ MAX_CHUNK = 8192  # subgrids per pallas_call (compile-helper memory bound)
 
 
 def _chunked(run_one, params, stg, subgrids, *a, **kw):
-    """Split very large subgrid batches into multiple pallas_calls."""
+    """Split very large subgrid batches into multiple pallas_calls.
+
+    Chunks are padded to a UNIFORM size so the module contains exactly one
+    Mosaic kernel shape — modules with two differently-shaped kernels crash
+    the remote AOT compile helper (S=16400 fails, S=8120 compiles)."""
+    import dataclasses as _dc
+
     S = stg.uvw.shape[0]
     if S <= MAX_CHUNK:
         return run_one(params, stg, subgrids, *a, **kw)
+    n_chunks = -(-S // MAX_CHUNK)
+    s_pad = n_chunks * MAX_CHUNK
+    if s_pad != S:
+        pad = s_pad - S
+        from .common import _PER_SUBGRID_FIELDS
+
+        updates = {
+            name: jnp.pad(
+                getattr(stg, name),
+                [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+            )
+            for name in _PER_SUBGRID_FIELDS
+        }
+        stg = _dc.replace(stg, **updates)
+        subgrids = tuple(
+            jnp.pad(s, [(0, pad)] + [(0, 0)] * (s.ndim - 1)) for s in subgrids
+        )
     outs = []
-    for lo in range(0, S, MAX_CHUNK):
-        hi = min(lo + MAX_CHUNK, S)
+    for lo in range(0, s_pad, MAX_CHUNK):
+        hi = lo + MAX_CHUNK
         sub_c = (subgrids[0][lo:hi], subgrids[1][lo:hi])
         outs.append(run_one(params, slice_staged(stg, lo, hi), sub_c, *a, **kw))
-    return (
-        jnp.concatenate([o[0] for o in outs], axis=0),
-        jnp.concatenate([o[1] for o in outs], axis=0),
-    )
+    re = jnp.concatenate([o[0] for o in outs], axis=0)
+    im = jnp.concatenate([o[1] for o in outs], axis=0)
+    return re[:S], im[:S]
 
 
 def _degridder_sep_recur_run(params, stg, subgrids, w_rank, precisions,

@@ -106,3 +106,29 @@ def test_non_canonical_layout_detected(small_params, small_obs):
     off[0], off[1] = off[1], off[0]
     md2 = dataclasses.replace(md, time_offset=off)
     assert not canonical_time_offsets(md2, small_params.nr_timesteps_subgrid)
+
+
+def test_degridder_chunked_matches_single_call(small_params, small_obs, monkeypatch):
+    """The S-chunked degridder path must match the single-call path."""
+    import jax
+
+    from idg_tpu.data import initialize_subgrids
+    from idg_tpu.ops.pallas import degridder as dg
+    from idg_tpu.types import combine_complex, split_complex, split_observation
+
+    sub = initialize_subgrids(
+        small_params.nr_subgrids, small_params.nr_correlations,
+        small_params.subgrid_size,
+    )
+    sobs = split_observation(small_obs)
+    pair = split_complex(sub)
+    fn = dg.degridder_pallas_v6
+    ref = jax.jit(lambda s, sp: fn(small_params, s, sp))(sobs, pair)
+    monkeypatch.setattr(dg, "MAX_CHUNK", 2)  # force chunking (S=6 here)
+    got = jax.jit(lambda s, sp: fn(small_params, s, sp))(sobs, pair)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(ref[1]), atol=1e-6
+    )
