@@ -588,3 +588,203 @@ def gridder_pallas_v4_staged(params, stg, interpret=None, w_rank: int = 2):
 
 def gridder_pallas_v5_staged(params, stg, interpret=None, w_rank: int = 2):
     return _gridder_sep_recur_run(params, stg, w_rank, ("3x", "default"), interpret)
+
+
+# --------------------------------------------------------------------------
+# pallas_v6: v5 with multi-subgrid grid steps (fixed-cost amortization)
+# --------------------------------------------------------------------------
+
+def _kernel_sep_recur_batch(aidx, st1, st2,
+                            uvwr_ref, mur_ref, vre_ref, vim_ref, k_ref,
+                            poxc_ref, poyc_ref, mcol_ref, npack_ref, sph_ref,
+                            *rest,
+                            V, N, T, C, w_rank, precisions, batch):
+    """v5's body unrolled over `batch` subgrids per grid step: per-step
+    fixed costs (DMA setup, grid bookkeeping) amortize across the batch.
+    Each subgrid's Jones terms arrive through its own scalar-prefetch-
+    indexed aterm blocks (4·batch input specs)."""
+    at_refs = rest[:4 * batch]
+    out_re_ref, out_im_ref, lhs_s, phxr_s, phxi_s = rest[4 * batch:]
+    NP = N * P_POLS
+    k0 = k_ref[0, 0]
+    dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
+    m_col = mcol_ref[...]                           # [N, 1]
+    npack = npack_ref[...]
+    sph = sph_ref[...]
+
+    for b in range(batch):
+        uvw = uvwr_ref[b]                           # [3, T]
+        u_row = uvw[0:1, :]
+        v_row = uvw[1:2, :]
+        py = poyc_ref[b] - m_col * (v_row * k0)     # [N, T]
+        px = poxc_ref[b] - m_col * (u_row * k0)
+        dpy = -(m_col * (v_row * dk))
+        dpx = -(m_col * (u_row * dk))
+        cy_re, cy_im = jnp.cos(py), jnp.sin(py)
+        cx_re, cx_im = jnp.cos(px), jnp.sin(px)
+        dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
+        dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
+        for c in range(C):
+            lo = c * T
+            lhs_s[0:N, lo:lo + T] = cy_re
+            lhs_s[N:2 * N, lo:lo + T] = cy_im
+            phxr_s[:, lo:lo + T] = cx_re
+            phxi_s[:, lo:lo + T] = cx_im
+            if c + 1 < C:
+                cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
+                cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+        lhs = lhs_s[...]
+        phx_re = phxr_s[...]
+        phx_im = phxi_s[...]
+
+        mu = mur_ref[b]                             # [1, V]
+        vre = vre_ref[b]                            # [P, V]
+        vim = vim_ref[b]
+        outs = []
+        cr = jnp.ones_like(mu)
+        ci = jnp.zeros_like(mu)
+        for r in range(w_rank):
+            if r:
+                cr, ci = -ci * mu / r, cr * mu / r
+            parts_re, parts_im = [], []
+            for p in range(P_POLS):
+                tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci
+                ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
+                w_re, w_im = kcmul(phx_re, phx_im, tr, ti)
+                parts_re.append(w_re)
+                parts_im.append(w_im)
+            rhs_t = jnp.concatenate(parts_re + parts_im, axis=0)
+            prod = _dot_mixed(
+                lhs, rhs_t, precisions[min(r, len(precisions) - 1)],
+                transpose_rhs=True,
+            )
+            c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
+            c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
+            outs.append((c_re, c_im))
+
+        pix_re, pix_im = outs[0]
+        npow = npack
+        for r in range(1, w_rank):
+            pix_re = pix_re + outs[r][0] * npow
+            pix_im = pix_im + outs[r][1] * npow
+            npow = npow * npack
+
+        pix = [
+            (pix_re[:, p * N:(p + 1) * N], pix_im[:, p * N:(p + 1) * N])
+            for p in range(P_POLS)
+        ]
+        a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
+              for p in range(P_POLS)]
+        a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
+              for p in range(P_POLS)]
+        for p, (r_, i_) in enumerate(_epilogue(pix, sph, a1, a2)):
+            out_re_ref[b, p] = r_
+            out_im_ref[b, p] = i_
+
+
+def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
+                                 batch: int = 4):
+    import dataclasses as _dc
+
+    from .common import _PER_SUBGRID_FIELDS
+
+    S = stg.uvw.shape[0]
+    T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    V = T * C
+    s_pad = -(-S // batch) * batch
+    if s_pad != S:
+        pad = s_pad - S
+        updates = {
+            name: jnp.pad(
+                getattr(stg, name),
+                [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+            )
+            for name in _PER_SUBGRID_FIELDS
+        }
+        stg = _dc.replace(stg, **updates)
+    npack = jnp.tile(stg.n_yx, (1, P_POLS))
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = functools.partial(
+        _kernel_sep_recur_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
+        precisions=precisions, batch=batch,
+    )
+    B = batch
+
+    def at_spec(sel, b):
+        return pl.BlockSpec(
+            (1, 1, P_POLS, N, N),
+            lambda i, aidx, st1, st2, sel=sel, b=b: (
+                aidx[i * B + b], (st1 if sel == 1 else st2)[i * B + b], 0, 0, 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    at_specs = []
+    at_inputs = []
+    for b in range(B):
+        at_specs += [at_spec(1, b), at_spec(1, b), at_spec(2, b), at_spec(2, b)]
+        at_inputs += [stg.at_re, stg.at_im, stg.at_re, stg.at_im]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_pad // B,),
+        in_specs=[
+            pl.BlockSpec((B, 3, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + at_specs,
+        out_specs=(
+            pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((s_pad, P_POLS, N, N), jnp.float32),
+        jax.ShapeDtypeStruct((s_pad, P_POLS, N, N), jnp.float32),
+    )
+    re, im = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.uvw_rows, stg.mu_row_cm, stg.vis_re_pv_cm, stg.vis_im_pv_cm,
+        stg.wavenumbers, stg.po_x_col, stg.po_y_col, stg.mcol, npack, stg.sph,
+        *at_inputs,
+    )
+    return re[:S], im[:S]
+
+
+@register(
+    "gridder", "pallas_v6",
+    "v5 + multi-subgrid grid steps: per-step fixed costs amortized over 4 subgrids",
+    family="pallas",
+)
+def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
+                      interpret=None, w_rank: int = 2, canonical=False,
+                      batch: int = 4):
+    return _gridder_sep_recur_batch_run(
+        params, stage(params, sobs, canonical), w_rank, ("3x", "default"),
+        interpret, batch,
+    )
+
+
+def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
+                             batch: int = 4):
+    return _gridder_sep_recur_batch_run(
+        params, stg, w_rank, ("3x", "default"), interpret, batch
+    )

@@ -13,6 +13,7 @@ from idg_tpu.ops.api import run_degridder, run_gridder
 from idg_tpu.utils.compare import check_error
 
 PALLAS_VERSIONS = ["pallas_v1", "pallas_v2", "pallas_v3", "pallas_v4", "pallas_v5"]
+GRIDDER_EXTRA = ["pallas_v6"]
 DEGRIDDER_EXTRA = ["pallas_v6"]
 
 
@@ -31,7 +32,7 @@ def golden_degridder(small_params, small_obs):
     return sub, degridder_reference(small_params, small_obs, sub)
 
 
-@pytest.mark.parametrize("version", PALLAS_VERSIONS)
+@pytest.mark.parametrize("version", PALLAS_VERSIONS + GRIDDER_EXTRA)
 def test_gridder_pallas_vs_golden(version, small_params, small_obs, golden_gridder):
     got = run_gridder(small_params, small_obs, version=version)
     result = check_error(got, golden_gridder, verbose=False)
