@@ -40,7 +40,7 @@ def main() -> None:
     version = os.environ.get("BENCH_KERNEL")
     if not version:
         versions = [e.version for e in list_kernels("gridder")]
-        for pick in ("pallas_v6", "pallas_v5", "pallas_v4", "pallas_v3", "xla_v4", "xla_v2"):
+        for pick in ("pallas_v7", "pallas_v6", "pallas_v5", "pallas_v4", "pallas_v3", "xla_v4", "xla_v2"):
             if pick in versions:
                 version = pick
                 break

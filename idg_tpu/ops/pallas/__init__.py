@@ -22,4 +22,5 @@ STAGED = {
     ("degridder", "pallas_v4"): (stage, degridder.degridder_pallas_v4_staged),
     ("degridder", "pallas_v5"): (stage, degridder.degridder_pallas_v5_staged),
     ("degridder", "pallas_v6"): (stage, degridder.degridder_pallas_v6_staged),
+    ("degridder", "pallas_v7"): (stage, degridder.degridder_pallas_v7_staged),
 }

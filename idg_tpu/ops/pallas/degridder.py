@@ -16,6 +16,9 @@ Rungs mirror the gridder family (SURVEY.md §2.4 degridder ladder):
              one [N,2NP]×[N,2V] dot per rank).
   pallas_v5  v4 + channel-recurrence phasor generation (O(N·T) sincos,
              c-major lanes; uniform channel spacing assumed).
+  pallas_v6  pol-stacked x-first adjoint: one full-M [4N,2N]×[2N,2V] MXU
+             dot per rank with a 4× smaller intermediate.
+  pallas_v7  v6 + multi-subgrid grid steps (fixed-cost amortization).
 """
 
 from __future__ import annotations
@@ -769,3 +772,213 @@ def degridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
 
 def degridder_pallas_v6_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
     return _degridder_polstack_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
+
+
+# --------------------------------------------------------------------------
+# pallas_v7: v6 with multi-subgrid grid steps
+# --------------------------------------------------------------------------
+
+def _kernel_polstack_batch(aidx, st1, st2,
+                           uvwr_ref, mur_ref, k_ref,
+                           poxc_ref, poyc_ref, mcol_ref, n_ref,
+                           sub_re_ref, sub_im_ref, sph_ref,
+                           *rest,
+                           V, N, T, C, w_rank, precisions, batch):
+    """v6's body unrolled over `batch` subgrids per grid step (see
+    gridder pallas_v6 for the amortization rationale)."""
+    at_refs = rest[:4 * batch]
+    out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = rest[4 * batch:]
+    sph = sph_ref[...]
+    k0 = k_ref[0, 0]
+    dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
+    m_col = mcol_ref[...]
+    n_yx = n_ref[...]
+
+    for b in range(batch):
+        sub = [(sub_re_ref[b, p], sub_im_ref[b, p]) for p in range(P_POLS)]
+        a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
+              for p in range(P_POLS)]
+        a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
+              for p in range(P_POLS)]
+        pix = _prologue(sub, sph, a1, a2)
+
+        uvw = uvwr_ref[b]
+        u_row = uvw[0:1, :]
+        v_row = uvw[1:2, :]
+        py = poyc_ref[b] - m_col * (v_row * k0)
+        px = poxc_ref[b] - m_col * (u_row * k0)
+        dpy = -(m_col * (v_row * dk))
+        dpx = -(m_col * (u_row * dk))
+        cy_re, cy_im = jnp.cos(py), jnp.sin(py)
+        cx_re, cx_im = jnp.cos(px), jnp.sin(px)
+        dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
+        dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
+        for c in range(C):
+            lo = c * T
+            phyr_s[:, lo:lo + T] = cy_re
+            phyi_s[:, lo:lo + T] = cy_im
+            phxr_s[:, lo:lo + T] = cx_re
+            phxi_s[:, lo:lo + T] = cx_im
+            if c + 1 < C:
+                cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
+                cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+        phy_re = phyr_s[...]
+        phy_im = phyi_s[...]
+        phx_re = phxr_s[...]
+        phx_im = phxi_s[...]
+
+        rhs = jnp.concatenate(
+            [
+                jnp.concatenate([phx_re, -phx_im], axis=1),
+                jnp.concatenate([phx_im, phx_re], axis=1),
+            ],
+            axis=0,
+        )
+        mu = mur_ref[b]
+        rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+        rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
+        cr = jnp.ones_like(mu)
+        ci = jnp.zeros_like(mu)
+        npow = jnp.ones_like(n_yx)
+        for r in range(w_rank):
+            if r:
+                cr, ci = ci * mu / r, -cr * mu / r
+                npow = npow * n_yx
+            lhs = jnp.concatenate(
+                [
+                    jnp.concatenate([p[0] * npow, p[1] * npow], axis=1)
+                    for p in pix
+                ],
+                axis=0,
+            )
+            prod = _dot_mixed(
+                lhs, rhs, precisions[min(r, len(precisions) - 1)]
+            )
+            for p in range(P_POLS):
+                d_re = prod[p * N:(p + 1) * N, 0:V]
+                d_im = prod[p * N:(p + 1) * N, V:2 * V]
+                sr = d_re * phy_re + d_im * phy_im
+                si = d_im * phy_re - d_re * phy_im
+                vr = jnp.sum(sr, axis=0, keepdims=True)
+                vi = jnp.sum(si, axis=0, keepdims=True)
+                er, ei = kcmul(vr, vi, cr, ci)
+                rows_re[p] = rows_re[p] + er
+                rows_im[p] = rows_im[p] + ei
+        out_re_ref[b] = jnp.concatenate(rows_re, axis=0)
+        out_im_ref[b] = jnp.concatenate(rows_im, axis=0)
+
+
+def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
+                                  interpret, batch: int = 4):
+    import dataclasses as _dc
+
+    from .common import _PER_SUBGRID_FIELDS
+
+    S = stg.uvw.shape[0]
+    T, C, N = params.nr_timesteps_subgrid, params.nr_channels, params.subgrid_size
+    V = T * C
+    B = batch
+    s_pad = -(-S // B) * B
+    if s_pad != S:
+        pad = s_pad - S
+        updates = {
+            name: jnp.pad(
+                getattr(stg, name),
+                [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+            )
+            for name in _PER_SUBGRID_FIELDS
+        }
+        stg = _dc.replace(stg, **updates)
+        subgrids = tuple(
+            jnp.pad(s, [(0, pad)] + [(0, 0)] * (s.ndim - 1)) for s in subgrids
+        )
+    if interpret is None:
+        interpret = use_interpret()
+    kernel = functools.partial(
+        _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
+        precisions=precisions, batch=B,
+    )
+
+    def at_spec(sel, b):
+        return pl.BlockSpec(
+            (1, 1, P_POLS, N, N),
+            lambda i, aidx, st1, st2, sel=sel, b=b: (
+                aidx[i * B + b], (st1 if sel == 1 else st2)[i * B + b], 0, 0, 0
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    at_specs = []
+    at_inputs = []
+    for b in range(B):
+        at_specs += [at_spec(1, b), at_spec(1, b), at_spec(2, b), at_spec(2, b)]
+        at_inputs += [stg.at_re, stg.at_im, stg.at_re, stg.at_im]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_pad // B,),
+        in_specs=[
+            pl.BlockSpec((B, 3, T), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + at_specs,
+        out_specs=(
+            pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((N, V), jnp.float32),
+        ],
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((s_pad, P_POLS, V), jnp.float32),
+        jax.ShapeDtypeStruct((s_pad, P_POLS, V), jnp.float32),
+    )
+    re, im = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(
+        stg.aterm_index, stg.station1, stg.station2,
+        stg.uvw_rows, stg.mu_row_cm, stg.wavenumbers,
+        stg.po_x_col, stg.po_y_col, stg.mcol, stg.n_yx,
+        subgrids[0], subgrids[1], stg.sph,
+        *at_inputs,
+    )
+    re = jnp.transpose(re[:S].reshape(S, P_POLS, C, T), (0, 3, 2, 1))
+    im = jnp.transpose(im[:S].reshape(S, P_POLS, C, T), (0, 3, 2, 1))
+    return re, im
+
+
+@register(
+    "degridder", "pallas_v7",
+    "v6 + multi-subgrid grid steps: per-step fixed costs amortized over 4 subgrids",
+    family="pallas",
+)
+def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
+                        subgrids: Pair, interpret=None, w_rank: int = 2,
+                        canonical=False, batch: int = 4):
+    return _chunked(
+        _degridder_polstack_batch_run, params,
+        stage(params, sobs, canonical), subgrids,
+        w_rank, ("3x", "default"), interpret, batch,
+    )
+
+
+def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
+                               w_rank: int = 2, batch: int = 4):
+    return _chunked(
+        _degridder_polstack_batch_run, params, stg, subgrids,
+        w_rank, ("3x", "default"), interpret, batch,
+    )
