@@ -184,3 +184,13 @@ def test_scatter_gather_inverse(par_params):
         grid, coords[:, 1], coords[:, 0], n, apply_fft=False
     )
     np.testing.assert_allclose(np.asarray(back[0]), sub, atol=1e-6)
+
+
+def test_sharded_pallas_gridder_matches_single_device(mesh, par_params, par_obs):
+    """Pallas kernels (interpret mode on CPU) compose with shard_map."""
+    expected = run_gridder(par_params, par_obs, version="pallas_v3")
+    sobs = split_observation(par_obs)
+    sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
+    re, im = sharded_gridder(par_params, mesh, "pallas_v3")(sharded_sobs)
+    got = combine_complex(np.asarray(re), np.asarray(im))
+    assert check_error(got, expected, verbose=False).passed
