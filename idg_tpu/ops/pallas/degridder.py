@@ -668,13 +668,17 @@ def _kernel_polstack(aidx, st1, st2,
         prod = _dot_mixed(
             lhs, rhs, precisions[min(r, len(precisions) - 1)]
         )                                            # [4N, 2V]
+        # pol-batched stage 2: one [4N, V] elementwise pass at full
+        # sublane width, then per-pol sublane reduces
+        phy_rep_re = jnp.concatenate([phy_re] * P_POLS, axis=0)
+        phy_rep_im = jnp.concatenate([phy_im] * P_POLS, axis=0)
+        d_re = prod[:, 0:V]
+        d_im = prod[:, V:2 * V]
+        sr = d_re * phy_rep_re + d_im * phy_rep_im   # · conj(Φy)ᵀ
+        si = d_im * phy_rep_re - d_re * phy_rep_im
         for p in range(P_POLS):
-            d_re = prod[p * N:(p + 1) * N, 0:V]      # [N(y), V]
-            d_im = prod[p * N:(p + 1) * N, V:2 * V]
-            sr = d_re * phy_re + d_im * phy_im       # · conj(Φy)ᵀ
-            si = d_im * phy_re - d_re * phy_im
-            vr = jnp.sum(sr, axis=0, keepdims=True)  # [1, V]
-            vi = jnp.sum(si, axis=0, keepdims=True)
+            vr = jnp.sum(sr[p * N:(p + 1) * N], axis=0, keepdims=True)
+            vi = jnp.sum(si[p * N:(p + 1) * N], axis=0, keepdims=True)
             er, ei = kcmul(vr, vi, cr, ci)
             rows_re[p] = rows_re[p] + er
             rows_im[p] = rows_im[p] + ei
@@ -854,13 +858,16 @@ def _kernel_polstack_batch(aidx, st1, st2,
             prod = _dot_mixed(
                 lhs, rhs, precisions[min(r, len(precisions) - 1)]
             )
+            # pol-batched stage 2 (see _kernel_polstack)
+            phy_rep_re = jnp.concatenate([phy_re] * P_POLS, axis=0)
+            phy_rep_im = jnp.concatenate([phy_im] * P_POLS, axis=0)
+            d_re = prod[:, 0:V]
+            d_im = prod[:, V:2 * V]
+            sr = d_re * phy_rep_re + d_im * phy_rep_im
+            si = d_im * phy_rep_re - d_re * phy_rep_im
             for p in range(P_POLS):
-                d_re = prod[p * N:(p + 1) * N, 0:V]
-                d_im = prod[p * N:(p + 1) * N, V:2 * V]
-                sr = d_re * phy_re + d_im * phy_im
-                si = d_im * phy_re - d_re * phy_im
-                vr = jnp.sum(sr, axis=0, keepdims=True)
-                vi = jnp.sum(si, axis=0, keepdims=True)
+                vr = jnp.sum(sr[p * N:(p + 1) * N], axis=0, keepdims=True)
+                vi = jnp.sum(si[p * N:(p + 1) * N], axis=0, keepdims=True)
                 er, ei = kcmul(vr, vi, cr, ci)
                 rows_re[p] = rows_re[p] + er
                 rows_im[p] = rows_im[p] + ei

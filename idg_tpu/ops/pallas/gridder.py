@@ -443,6 +443,14 @@ def _kernel_sep_recur(aidx, st1, st2,
     dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
     dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
     for c in range(C):
+        if c and c % 8 == 0:
+            # periodic exact resync bounds recurrence drift (one extra
+            # [N,T] sincos pair per 8 channels)
+            kc = k0 + c * dk
+            pyc = poyc_ref[0] - m_col * (v_row * kc)
+            pxc = poxc_ref[0] - m_col * (u_row * kc)
+            cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
+            cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
         lo = c * T
         lhs_s[0:N, lo:lo + T] = cy_re
         lhs_s[N:2 * N, lo:lo + T] = cy_im
@@ -625,6 +633,14 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
         dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
         for c in range(C):
+            if c and c % 8 == 0:
+                # periodic exact resync bounds recurrence drift (one extra
+                # [N,T] sincos pair per 8 channels)
+                kc = k0 + c * dk
+                pyc = poyc_ref[b] - m_col * (v_row * kc)
+                pxc = poxc_ref[b] - m_col * (u_row * kc)
+                cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
+                cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
             lo = c * T
             lhs_s[0:N, lo:lo + T] = cy_re
             lhs_s[N:2 * N, lo:lo + T] = cy_im

@@ -145,7 +145,8 @@ def sharded_gridder_to_grid(
     kernel = get_kernel("gridder", version).fn
     specs = _obs_specs(axis)
     g = params.grid_size
-    assert g % n_dev == 0, "grid rows must divide the mesh for psum_scatter"
+    if grid_sharded:
+        assert g % n_dev == 0, "grid rows must divide the mesh for psum_scatter"
     out_spec = (P(None, axis, None),) * 2 if grid_sharded else (P(), P())
 
     @partial(
