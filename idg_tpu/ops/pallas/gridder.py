@@ -443,9 +443,9 @@ def _kernel_sep_recur(aidx, st1, st2,
     dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
     dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
     for c in range(C):
-        if c and c % 8 == 0:
-            # periodic exact resync bounds recurrence drift (one extra
-            # [N,T] sincos pair per 8 channels)
+        if c and c % 16 == 0:
+            # periodic exact resync bounds recurrence drift (engages for C > 16; one extra
+            # [N,T] sincos pair per 16 channels)
             kc = k0 + c * dk
             pyc = poyc_ref[0] - m_col * (v_row * kc)
             pxc = poxc_ref[0] - m_col * (u_row * kc)
@@ -633,9 +633,9 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
         dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
         for c in range(C):
-            if c and c % 8 == 0:
-                # periodic exact resync bounds recurrence drift (one extra
-                # [N,T] sincos pair per 8 channels)
+            if c and c % 16 == 0:
+                # periodic exact resync bounds recurrence drift (engages for C > 16; one extra
+                # [N,T] sincos pair per 16 channels)
                 kc = k0 + c * dk
                 pyc = poyc_ref[b] - m_col * (v_row * kc)
                 pxc = poxc_ref[b] - m_col * (u_row * kc)
