@@ -46,7 +46,11 @@ def main() -> None:
                 break
 
     obs = make_perf_observation(params)
-    fn, args = staged_runner("gridder", version, params, obs)
+    w_rank = os.environ.get("BENCH_W_RANK")
+    fn, args = staged_runner(
+        "gridder", version, params, obs,
+        w_rank=int(w_rank) if w_rank else None,
+    )
     timing = time_kernel(fn, *args, harness=harness)
     _, _, mvis = workload_costs(params)
     mvis_per_s = mvis / timing.seconds

@@ -26,7 +26,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
 CSV_EXT = "-tpu.csv"
 
 
-def _perf_one(workload: str, version: str, mesh_size: int | None) -> float:
+def _perf_one(workload: str, version: str, mesh_size: int | None,
+              w_rank: int | None = None) -> float:
     """Performance mode (p_run_gridder_ semantics, app/CUDA/util.cpp:172-249).
 
     Returns the mean seconds per launch.
@@ -71,7 +72,9 @@ def _perf_one(workload: str, version: str, mesh_size: int | None) -> float:
             fn = sharded_degridder(params, mesh, version)
             args = (sharded_sobs, jax.device_put(split_complex(subgrids)))
     else:
-        fn, args = staged_runner(workload, version, params, obs, subgrids)
+        fn, args = staged_runner(
+            workload, version, params, obs, subgrids, w_rank=w_rank
+        )
 
     timing = time_kernel(fn, *args, harness=harness)
     gflops, gbytes, mvis = workload_costs(params)
@@ -120,7 +123,7 @@ def _check_one(workload: str, version: str) -> bool:
 
 def cmd_run(args) -> int:
     if args.mode == "perf":
-        _perf_one(args.workload, args.version, args.mesh)
+        _perf_one(args.workload, args.version, args.mesh, args.w_rank)
         return 0
     ok = _check_one(args.workload, args.version)
     return 0 if ok else 1
@@ -245,6 +248,8 @@ def main(argv=None) -> int:
     p_run.add_argument("--version", default="xla_v4")
     p_run.add_argument("--mode", choices=["perf", "check"], default="perf")
     p_run.add_argument("--mesh", type=int, default=None, help="shard over N devices")
+    p_run.add_argument("--w-rank", type=int, default=None,
+                       help="w-term Taylor rank override (1 is exact for w==0 data)")
     p_run.set_defaults(fn=cmd_run)
 
     p_sweep = sub.add_parser("sweep", help="run many kernels (run_perf_*.sh analogue)")

@@ -68,12 +68,17 @@ def run_degridder(
     return combine_complex(np.asarray(re), np.asarray(im))
 
 
-def staged_runner(workload: str, version: str, params: IDGParams, obs: Observation, subgrids=None):
+def staged_runner(workload: str, version: str, params: IDGParams, obs: Observation, subgrids=None,
+                  w_rank=None):
     """For benchmarking: returns (fn, args) with inputs staged on device so
     the timed call contains only device work (the reference times bare
     kernel launches on pre-staged device buffers the same way,
     app/CUDA/util.cpp:109-126). Kernels with a registered (stage, run) split
-    run staging ONCE outside the timed window."""
+    run staging ONCE outside the timed window.
+
+    w_rank overrides the w-term Taylor rank for kernels that accept it
+    (rank 1 is exact for w == 0 data such as the in-tree generators; the
+    general default is rank 2)."""
     from .pallas import STAGED
 
     sobs = jax.device_put(split_observation(obs))
@@ -85,6 +90,8 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         from .pallas.degridder import MAX_CHUNK
 
         stage_fn, run_fn = STAGED[(workload, version)]
+        if w_rank is not None:
+            run_fn = partial(run_fn, w_rank=w_rank)
         canonical = canonical_time_offsets(
             obs.metadata, params.nr_timesteps_subgrid
         )

@@ -133,3 +133,19 @@ def test_degridder_chunked_matches_single_call(small_params, small_obs, monkeypa
     np.testing.assert_allclose(
         np.asarray(got[1]), np.asarray(ref[1]), atol=1e-6
     )
+
+
+def test_w_rank_override_plumbs_through_staged_runner(small_params, small_obs):
+    """staged_runner(w_rank=1) must produce rank-1 results (exact for the
+    in-tree w == 0 data, so identical to rank 2 here) without error."""
+    from idg_tpu.ops.api import staged_runner
+
+    fn2, args2 = staged_runner("gridder", "pallas_v3", small_params, small_obs)
+    fn1, args1 = staged_runner(
+        "gridder", "pallas_v3", small_params, small_obs, w_rank=1
+    )
+    out2 = fn2(*args2)
+    out1 = fn1(*args1)
+    np.testing.assert_allclose(
+        np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-5
+    )

@@ -194,3 +194,20 @@ def test_sharded_pallas_gridder_matches_single_device(mesh, par_params, par_obs)
     re, im = sharded_gridder(par_params, mesh, "pallas_v3")(sharded_sobs)
     got = combine_complex(np.asarray(re), np.asarray(im))
     assert check_error(got, expected, verbose=False).passed
+
+
+def test_fft_grid_roundtrip_disjoint_tiles(par_params):
+    """iFFT+scatter then gather+FFT reproduces subgrids on disjoint tiles."""
+    n = par_params.subgrid_size
+    g = par_params.grid_size
+    s = (g // n) ** 2
+    coords = np.stack(
+        np.meshgrid(np.arange(0, g, n), np.arange(0, g, n), indexing="ij"), -1
+    ).reshape(-1, 2)
+    rng = np.random.default_rng(11)
+    sub = rng.standard_normal((s, 4, n, n)).astype(np.float32)
+    pair = (sub, 0.5 * sub)
+    grid = subgrids_to_grid(pair, coords[:, 1], coords[:, 0], g, apply_fft=True)
+    back = grid_to_subgrids(grid, coords[:, 1], coords[:, 0], n, apply_fft=True)
+    np.testing.assert_allclose(np.asarray(back[0]), sub, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(back[1]), 0.5 * sub, atol=1e-4)
