@@ -23,6 +23,9 @@ SURVEY.md §2.4):
              channel-0 Φ planes and the per-channel delta (O(N·T) instead of
              O(N·V) transcendentals), c-major lanes, VMEM scratch planes.
              Assumes uniform channel spacing, like GPU v8.
+  pallas_v6  v5 + multi-subgrid grid steps: 4 subgrids per step amortize
+             per-step fixed costs; W parts write straight into the RHS
+             VMEM scratch.
 """
 
 from __future__ import annotations
@@ -612,7 +615,7 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     Each subgrid's Jones terms arrive through its own scalar-prefetch-
     indexed aterm blocks (4·batch input specs)."""
     at_refs = rest[:4 * batch]
-    out_re_ref, out_im_ref, lhs_s, phxr_s, phxi_s = rest[4 * batch:]
+    out_re_ref, out_im_ref, lhs_s, phxr_s, phxi_s, rhs_s = rest[4 * batch:]
     NP = N * P_POLS
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
@@ -662,16 +665,20 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         for r in range(w_rank):
             if r:
                 cr, ci = -ci * mu / r, cr * mu / r
-            parts_re, parts_im = [], []
             for p in range(P_POLS):
-                tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci
-                ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
+                if r == 0:
+                    # rank-0 coefficient is the identity
+                    tr, ti = vre[p:p + 1], vim[p:p + 1]
+                else:
+                    tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci
+                    ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
                 w_re, w_im = kcmul(phx_re, phx_im, tr, ti)
-                parts_re.append(w_re)
-                parts_im.append(w_im)
-            rhs_t = jnp.concatenate(parts_re + parts_im, axis=0)
+                # write W parts straight into the RHS scratch — skips the
+                # [2NP, V] concatenate copy (~2 MB/rank of VMEM traffic)
+                rhs_s[p * N:(p + 1) * N, :] = w_re
+                rhs_s[NP + p * N:NP + (p + 1) * N, :] = w_im
             prod = _dot_mixed(
-                lhs, rhs_t, precisions[min(r, len(precisions) - 1)],
+                lhs, rhs_s[...], precisions[min(r, len(precisions) - 1)],
                 transpose_rhs=True,
             )
             c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
@@ -765,6 +772,7 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
             pltpu.VMEM((2 * N, V), jnp.float32),
             pltpu.VMEM((N, V), jnp.float32),
             pltpu.VMEM((N, V), jnp.float32),
+            pltpu.VMEM((2 * N * P_POLS, V), jnp.float32),
         ],
     )
     out_shape = (
