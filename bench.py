@@ -37,21 +37,32 @@ def main() -> None:
         nr_iterations=int(os.environ.get("NR_ITERATIONS", 3)),
     )
 
-    version = os.environ.get("BENCH_KERNEL")
-    if not version:
-        versions = [e.version for e in list_kernels("gridder")]
-        for pick in ("pallas_v7", "pallas_v6", "pallas_v5", "pallas_v4", "pallas_v3", "xla_v4", "xla_v2"):
-            if pick in versions:
-                version = pick
-                break
+    preference = ("pallas_v7", "pallas_v6", "pallas_v5", "pallas_v4",
+                  "pallas_v3", "xla_v4", "xla_v2")
+    env_version = os.environ.get("BENCH_KERNEL")
+    registered = [e.version for e in list_kernels("gridder")]
+    candidates = (
+        [env_version] if env_version
+        else [v for v in preference if v in registered]
+    )
 
     obs = make_perf_observation(params)
     w_rank = os.environ.get("BENCH_W_RANK")
-    fn, args = staged_runner(
-        "gridder", version, params, obs,
-        w_rank=int(w_rank) if w_rank else None,
-    )
-    timing = time_kernel(fn, *args, harness=harness)
+    timing = version = None
+    for candidate in candidates:
+        try:
+            fn, args = staged_runner(
+                "gridder", candidate, params, obs,
+                w_rank=int(w_rank) if w_rank else None,
+            )
+            timing = time_kernel(fn, *args, harness=harness)
+            version = candidate
+            break
+        except Exception as exc:  # fall down the ladder on compile failure
+            print(f"bench: {candidate} failed ({exc}); falling back",
+                  file=sys.stderr)
+    if timing is None:
+        raise SystemExit("bench: no gridder kernel ran")
     _, _, mvis = workload_costs(params)
     mvis_per_s = mvis / timing.seconds
 
