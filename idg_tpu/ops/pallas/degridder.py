@@ -131,8 +131,11 @@ def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile,
     )
     if interpret is None:
         interpret = use_interpret()
+    t_tile = min(t_tile, T)
+    while T % t_tile:  # keep every time slice in bounds
+        t_tile -= 1
     kernel = functools.partial(
-        _kernel_direct, T=T, C=C, N=N, t_tile=min(t_tile, T),
+        _kernel_direct, T=T, C=C, N=N, t_tile=t_tile,
         recurrence=recurrence,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -178,8 +178,11 @@ def _gridder_direct(params, sobs, recurrence, interpret, t_tile, canonical=False
     ).reshape(-1, 1, NN)
     if interpret is None:
         interpret = use_interpret()
+    t_tile = min(t_tile, T)
+    while T % t_tile:  # keep every time slice in bounds
+        t_tile -= 1
     kernel = functools.partial(
-        _kernel_direct, T=T, C=C, N=N, t_tile=min(t_tile, T),
+        _kernel_direct, T=T, C=C, N=N, t_tile=t_tile,
         recurrence=recurrence,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

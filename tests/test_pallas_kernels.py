@@ -149,3 +149,34 @@ def test_w_rank_override_plumbs_through_staged_runner(small_params, small_obs):
     np.testing.assert_allclose(
         np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-5
     )
+
+
+@pytest.mark.parametrize("nr_channels", [1, 3])
+def test_recurrence_kernels_odd_channel_counts(nr_channels):
+    """C=1 exercises the dk=0 branch; C=3 the general recurrence tail."""
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.models.reference import gridder_reference
+
+    p = IDGParams(
+        grid_size=64, subgrid_size=8, nr_stations=3, nr_timeslots=2,
+        nr_timesteps_subgrid=8, nr_channels=nr_channels,
+    )
+    obs, _ = make_observation(p)
+    golden = gridder_reference(p, obs)
+    got = run_gridder(p, obs, version="pallas_v5")
+    assert check_error(got, golden, verbose=False).passed
+
+
+def test_direct_kernels_non_divisible_time_tile():
+    """T=24 with the default t_tile=16 must not slice out of bounds."""
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.models.reference import gridder_reference
+
+    p = IDGParams(
+        grid_size=64, subgrid_size=8, nr_stations=3, nr_timeslots=2,
+        nr_timesteps_subgrid=24, nr_channels=4,
+    )
+    obs, _ = make_observation(p)
+    golden = gridder_reference(p, obs)
+    got = run_gridder(p, obs, version="pallas_v1")
+    assert check_error(got, golden, verbose=False).passed
