@@ -37,7 +37,9 @@ def main() -> None:
         nr_iterations=int(os.environ.get("NR_ITERATIONS", 3)),
     )
 
-    preference = ("pallas_v7", "pallas_v6", "pallas_v5", "pallas_v4",
+    # default = the general-w flagship; pallas_v7 (w-free specialization)
+    # is opt-in via BENCH_KERNEL=pallas_v7
+    preference = ("pallas_v6", "pallas_v5", "pallas_v4",
                   "pallas_v3", "xla_v4", "xla_v2")
     env_version = os.environ.get("BENCH_KERNEL")
     registered = [e.version for e in list_kernels("gridder")]

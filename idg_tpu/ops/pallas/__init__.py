@@ -18,6 +18,7 @@ STAGED = {
     ("gridder", "pallas_v4"): (stage, gridder.gridder_pallas_v4_staged),
     ("gridder", "pallas_v5"): (stage, gridder.gridder_pallas_v5_staged),
     ("gridder", "pallas_v6"): (stage, gridder.gridder_pallas_v6_staged),
+    ("gridder", "pallas_v7"): (stage, gridder.gridder_pallas_v7_staged),
     ("degridder", "pallas_v3"): (stage, degridder.degridder_pallas_v3_staged),
     ("degridder", "pallas_v4"): (stage, degridder.degridder_pallas_v4_staged),
     ("degridder", "pallas_v5"): (stage, degridder.degridder_pallas_v5_staged),

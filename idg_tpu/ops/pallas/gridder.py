@@ -815,3 +815,28 @@ def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
     return _gridder_sep_recur_batch_run(
         params, stg, w_rank, ("3x", "default"), interpret, batch
     )
+
+
+@register(
+    "gridder", "pallas_v7",
+    "w-free specialization: rank-1 (drops the w-term correction; exact for w==0 data)",
+    family="pallas",
+)
+def gridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
+                      interpret=None, canonical=False, batch: int = 4):
+    """v6 with the w·n Taylor correction dropped (w_rank=1): one fewer MXU
+    pass and half the W-forming. EXACT for observations with w ≡ 0 and
+    w_step = 0 — which includes every in-tree generator (initialize_uvw
+    sets w = 0, init.cpp:4-25) — and a documented approximation otherwise
+    (error ≈ |μ·n| ≲ 1e-3 rad per visibility at reference scales). The
+    general-w kernels are v3–v6."""
+    return _gridder_sep_recur_batch_run(
+        params, stage(params, sobs, canonical), 1, ("3x",), interpret, batch
+    )
+
+
+def gridder_pallas_v7_staged(params, stg, interpret=None, batch: int = 4,
+                             w_rank: int = 1):
+    return _gridder_sep_recur_batch_run(
+        params, stg, w_rank, ("3x",), interpret, batch
+    )
