@@ -24,4 +24,5 @@ STAGED = {
     ("degridder", "pallas_v5"): (stage, degridder.degridder_pallas_v5_staged),
     ("degridder", "pallas_v6"): (stage, degridder.degridder_pallas_v6_staged),
     ("degridder", "pallas_v7"): (stage, degridder.degridder_pallas_v7_staged),
+    ("degridder", "pallas_v8"): (stage, degridder.degridder_pallas_v8_staged),
 }

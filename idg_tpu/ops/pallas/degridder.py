@@ -992,3 +992,29 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, ("3x", "default"), interpret, batch,
     )
+
+
+@register(
+    "degridder", "pallas_v8",
+    "w-free specialization: rank-1 (drops the w-term correction; exact for w==0 data)",
+    family="pallas",
+)
+def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
+                        subgrids: Pair, interpret=None, canonical=False,
+                        batch: int = 4):
+    """v7 with the w·n Taylor correction dropped (w_rank=1): exact for
+    w ≡ 0 observations (all in-tree generators); the general-w kernels are
+    v3–v7. See gridder pallas_v7 for the rationale."""
+    return _chunked(
+        _degridder_polstack_batch_run, params,
+        stage(params, sobs, canonical), subgrids,
+        1, ("3x",), interpret, batch,
+    )
+
+
+def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
+                               batch: int = 4, w_rank: int = 1):
+    return _chunked(
+        _degridder_polstack_batch_run, params, stg, subgrids,
+        w_rank, ("3x",), interpret, batch,
+    )

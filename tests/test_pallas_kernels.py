@@ -14,7 +14,7 @@ from idg_tpu.utils.compare import check_error
 
 PALLAS_VERSIONS = ["pallas_v1", "pallas_v2", "pallas_v3", "pallas_v4", "pallas_v5"]
 GRIDDER_EXTRA = ["pallas_v6", "pallas_v7"]
-DEGRIDDER_EXTRA = ["pallas_v6", "pallas_v7"]
+DEGRIDDER_EXTRA = ["pallas_v6", "pallas_v7", "pallas_v8"]
 
 
 @pytest.fixture(scope="module")
