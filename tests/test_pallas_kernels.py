@@ -180,3 +180,41 @@ def test_direct_kernels_non_divisible_time_tile():
     golden = gridder_reference(p, obs)
     got = run_gridder(p, obs, version="pallas_v1")
     assert check_error(got, golden, verbose=False).passed
+
+
+@pytest.mark.parametrize("version", ["pallas_v5", "pallas_v6"])
+def test_recurrence_kernels_nonzero_w(version, small_params, small_obs):
+    """The w-rank machinery must hold the gate for w != 0 observations
+    (in-tree data is w == 0; this synthesizes a w plane)."""
+    import dataclasses
+
+    uvw = np.array(small_obs.uvw, copy=True)
+    uvw[:, :, 2] = 5.0
+    obs = dataclasses.replace(small_obs, uvw=uvw)
+    golden = gridder_reference(small_params, obs)
+    got = run_gridder(small_params, obs, version=version)
+    result = check_error(got, golden, verbose=False)
+    assert result.passed, f"{version} w!=0: {result.mean_error}"
+
+
+def test_w_rank3_improves_on_larger_w(small_params, small_obs):
+    """Rank 3 must beat rank 2 when |mu*n| grows (w_step path)."""
+    import dataclasses
+
+    import jax
+
+    from idg_tpu.ops.registry import get_kernel
+    from idg_tpu.types import combine_complex, split_observation
+
+    uvw = np.array(small_obs.uvw, copy=True)
+    uvw[:, :, 2] = 40.0  # |mu·n| ~ 4e-3 rad at this problem's n scale
+    obs = dataclasses.replace(small_obs, uvw=uvw)
+    golden = gridder_reference(small_params, obs)
+    fn = get_kernel("gridder", "pallas_v3").fn
+    sobs = split_observation(obs)
+    errs = {}
+    for rank in (2, 3):
+        re, im = jax.jit(lambda s, rank=rank: fn(small_params, s, w_rank=rank))(sobs)
+        got = combine_complex(np.asarray(re), np.asarray(im))
+        errs[rank] = check_error(got, golden, verbose=False).mean_error
+    assert errs[3] <= errs[2]
