@@ -99,7 +99,23 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
             partial(stage_fn, canonical=canonical), static_argnums=0
         )(params, sobs)
         jax.block_until_ready(jax.tree_util.tree_leaves(stg))
-        run_jit = jax.jit(run_fn, static_argnums=0)
+        # Pin row-major output layouts: XLA otherwise picks an S-minor
+        # layout for the [S,P,N,N] results and appends a 15 MB relayout
+        # copy to every launch (~5% of the gridder step, seen in xplane
+        # traces).
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            fmt = Format(
+                Layout(major_to_minor=(0, 1, 2, 3)),
+                SingleDeviceSharding(jax.devices()[0]),
+            )
+            run_jit = jax.jit(
+                run_fn, static_argnums=0, out_shardings=(fmt, fmt)
+            )
+        except Exception:
+            run_jit = jax.jit(run_fn, static_argnums=0)
         if workload == "gridder":
             return run_jit, (params, stg)
         s = stg.uvw.shape[0]
