@@ -99,22 +99,27 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
             partial(stage_fn, canonical=canonical), static_argnums=0
         )(params, sobs)
         jax.block_until_ready(jax.tree_util.tree_leaves(stg))
-        # Pin row-major output layouts: XLA otherwise picks an S-minor
-        # layout for the [S,P,N,N] results and appends a 15 MB relayout
-        # copy to every launch (~5% of the gridder step, seen in xplane
-        # traces).
-        try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
+        # Pin row-major output layouts for the GRIDDER: XLA otherwise picks
+        # an S-minor layout for the [S,P,N,N] results and appends a 15 MB
+        # relayout copy to every launch (~5-8% of the step, seen in xplane
+        # traces). Not applied to the degridder: pinning its chunked path
+        # increased peak HBM and OOMed at the full default problem.
+        run_jit = None
+        if workload == "gridder":
+            try:
+                from jax.experimental.layout import Format, Layout
+                from jax.sharding import SingleDeviceSharding
 
-            fmt = Format(
-                Layout(major_to_minor=(0, 1, 2, 3)),
-                SingleDeviceSharding(jax.devices()[0]),
-            )
-            run_jit = jax.jit(
-                run_fn, static_argnums=0, out_shardings=(fmt, fmt)
-            )
-        except Exception:
+                fmt = Format(
+                    Layout(major_to_minor=(0, 1, 2, 3)),
+                    SingleDeviceSharding(jax.devices()[0]),
+                )
+                run_jit = jax.jit(
+                    run_fn, static_argnums=0, out_shardings=(fmt, fmt)
+                )
+            except Exception:
+                run_jit = None
+        if run_jit is None:
             run_jit = jax.jit(run_fn, static_argnums=0)
         if workload == "gridder":
             return run_jit, (params, stg)
