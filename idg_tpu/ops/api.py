@@ -96,7 +96,11 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
             obs.metadata, params.nr_timesteps_subgrid
         )
         stg = jax.jit(
-            partial(stage_fn, canonical=canonical), static_argnums=0
+            partial(
+                stage_fn, canonical=canonical,
+                with_vis=(workload == "gridder"),
+            ),
+            static_argnums=0,
         )(params, sobs)
         jax.block_until_ready(jax.tree_util.tree_leaves(stg))
         # Pin row-major output layouts for the GRIDDER: XLA otherwise picks
@@ -148,6 +152,7 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
                     [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
                 )
                 for name in _PER_SUBGRID_FIELDS
+                if getattr(stg, name) is not None
             }
             stg = _dc.replace(stg, **updates)
             sub_pair = tuple(

@@ -92,7 +92,11 @@ class Staged:
 
 
 def stage(params: IDGParams, sobs: SplitObservation,
-          canonical: bool = False) -> Staged:
+          canonical: bool = False, with_vis: bool = True) -> Staged:
+    """with_vis=False skips the visibility gathers/transposes (the
+    degridder never reads them): at the full default problem those arrays
+    are ~5 GB of HBM, enough to push transient peak memory over the chip
+    limit."""
     md = sobs.metadata
     T = params.nr_timesteps_subgrid
     C, P = params.nr_channels, params.nr_correlations
@@ -101,12 +105,18 @@ def stage(params: IDGParams, sobs: SplitObservation,
         # metadata gather is the identity — skipping it saves ~6 ms per
         # gathered array per 900 subgrids on TPU.
         uvw = sobs.uvw.reshape(-1, T, 3)
-        vis_re = sobs.vis_re.reshape(-1, T, C, P)
-        vis_im = sobs.vis_im.reshape(-1, T, C, P)
+        vis_re = sobs.vis_re.reshape(-1, T, C, P) if with_vis else None
+        vis_im = sobs.vis_im.reshape(-1, T, C, P) if with_vis else None
     else:
         uvw = gather_time(sobs.uvw.reshape(-1, 3), md.time_offset, T)
-        vis_re = gather_time(sobs.vis_re.reshape(-1, C, P), md.time_offset, T)
-        vis_im = gather_time(sobs.vis_im.reshape(-1, C, P), md.time_offset, T)
+        vis_re = (
+            gather_time(sobs.vis_re.reshape(-1, C, P), md.time_offset, T)
+            if with_vis else None
+        )
+        vis_im = (
+            gather_time(sobs.vis_im.reshape(-1, C, P), md.time_offset, T)
+            if with_vis else None
+        )
     S = uvw.shape[0]
     V = T * C
     po_x, po_y = phase_offset_parts(params, md)
@@ -126,15 +136,25 @@ def stage(params: IDGParams, sobs: SplitObservation,
         uvw=uvw,
         vis_re=vis_re,
         vis_im=vis_im,
-        vis_re_pv=jnp.moveaxis(vis_re.reshape(S, V, P), 2, 1),
-        vis_im_pv=jnp.moveaxis(vis_im.reshape(S, V, P), 2, 1),
+        vis_re_pv=(
+            jnp.moveaxis(vis_re.reshape(S, V, P), 2, 1) if with_vis else None
+        ),
+        vis_im_pv=(
+            jnp.moveaxis(vis_im.reshape(S, V, P), 2, 1) if with_vis else None
+        ),
         up_row=up[:, None, :],
         vp_row=vp[:, None, :],
         mu_row=mu[:, None, :],
         uvw_rows=jnp.moveaxis(uvw, 1, 2),
         mu_row_cm=jnp.swapaxes(mu.reshape(S, T, C), 1, 2).reshape(S, 1, V),
-        vis_re_pv_cm=jnp.transpose(vis_re, (0, 3, 2, 1)).reshape(S, P, V),
-        vis_im_pv_cm=jnp.transpose(vis_im, (0, 3, 2, 1)).reshape(S, P, V),
+        vis_re_pv_cm=(
+            jnp.transpose(vis_re, (0, 3, 2, 1)).reshape(S, P, V)
+            if with_vis else None
+        ),
+        vis_im_pv_cm=(
+            jnp.transpose(vis_im, (0, 3, 2, 1)).reshape(S, P, V)
+            if with_vis else None
+        ),
         wavenumbers=k[None, :],
         po_x=po_x[:, None, :],
         po_y=po_y[:, None, :],
@@ -250,6 +270,8 @@ def slice_staged(stg: Staged, lo: int, hi: int) -> Staged:
     per chunk keeps the remote AOT compile helper within its memory budget
     (S=24500 single-call degridder modules crash it)."""
     updates = {
-        name: getattr(stg, name)[lo:hi] for name in _PER_SUBGRID_FIELDS
+        name: getattr(stg, name)[lo:hi]
+        for name in _PER_SUBGRID_FIELDS
+        if getattr(stg, name) is not None
     }
     return dataclasses.replace(stg, **updates)

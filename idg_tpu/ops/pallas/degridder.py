@@ -476,6 +476,7 @@ def _chunked(run_one, params, stg, subgrids, *a, **kw):
                 [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
             )
             for name in _PER_SUBGRID_FIELDS
+            if getattr(stg, name) is not None
         }
         stg = _dc.replace(stg, **updates)
         subgrids = tuple(
@@ -897,6 +898,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
                 [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
             )
             for name in _PER_SUBGRID_FIELDS
+            if getattr(stg, name) is not None
         }
         stg = _dc.replace(stg, **updates)
         subgrids = tuple(

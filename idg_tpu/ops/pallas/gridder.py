@@ -726,6 +726,7 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
                 [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
             )
             for name in _PER_SUBGRID_FIELDS
+            if getattr(stg, name) is not None
         }
         stg = _dc.replace(stg, **updates)
     npack = jnp.tile(stg.n_yx, (1, P_POLS))
