@@ -25,6 +25,9 @@ V100_GRIDDER_REFERENCE_MVIS_S = 42.93
 
 
 def main() -> None:
+    from idg_tpu.cli import _honor_platform_env
+
+    _honor_platform_env()
     from idg_tpu import HarnessConfig, IDGParams, make_perf_observation
     from idg_tpu.ops.api import staged_runner
     from idg_tpu.ops.registry import list_kernels

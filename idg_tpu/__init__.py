@@ -7,10 +7,10 @@ via jax.sharding / shard_map.
 """
 
 from .config import HarnessConfig, IDGParams
-from .data import make_observation, make_perf_observation
+from .data import make_observation, make_perf_observation, make_w_observation
 from .types import Metadata, Observation
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "HarnessConfig",
@@ -19,4 +19,5 @@ __all__ = [
     "Observation",
     "make_observation",
     "make_perf_observation",
+    "make_w_observation",
 ]

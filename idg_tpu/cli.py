@@ -26,8 +26,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
 CSV_EXT = "-tpu.csv"
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS effective even when a site hook pre-registers a
+    TPU platform (this machine's sitecustomize does): the env var alone can
+    be overridden before our imports run, so force it via jax.config too."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def _perf_one(workload: str, version: str, mesh_size: int | None,
-              w_rank: int | None = None) -> float:
+              w_rank: int | None = None, params=None,
+              name_suffix: str = "") -> float:
     """Performance mode (p_run_gridder_ semantics, app/CUDA/util.cpp:172-249).
 
     Returns the mean seconds per launch.
@@ -42,7 +57,8 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
     from .utils.report import device_name, report, report_csv
     from .utils.timing import time_kernel
 
-    params = IDGParams.from_env()
+    if params is None:
+        params = IDGParams.from_env()
     harness = HarnessConfig.from_env()
     print_device_info()
     print_parameters(params)
@@ -78,15 +94,17 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
 
     timing = time_kernel(fn, *args, harness=harness)
     gflops, gbytes, mvis = workload_costs(params)
-    name = f"{workload}_{version}"
+    name = f"{workload}_{version}{name_suffix}"
     dev = device_name()
     from .utils.roofline import roofline_fraction
 
     roofline = roofline_fraction(gflops / timing.seconds, gflops, gbytes, dev)
-    report(name, timing.seconds, gflops, gbytes, mvis, roofline=roofline)
+    report(name, timing.seconds, gflops, gbytes, mvis, roofline=roofline,
+           seconds_std=timing.seconds_std)
     report_csv(
         name, dev, CSV_EXT, timing.seconds, gflops, gbytes, mvis,
         output_path=harness.output_path, roofline=roofline,
+        seconds_std=timing.seconds_std,
     )
     return timing.seconds
 
@@ -131,8 +149,19 @@ def cmd_run(args) -> int:
 
 def cmd_sweep(args) -> int:
     """Run all (or selected) versions of the chosen workloads — the
-    run_perf_{cuda,hip}.sh analogue."""
+    run_perf_{cuda,hip}.sh analogue. `--stations N` shrinks the problem for
+    ladder comparisons; `--fullsize` runs the reference perf defaults
+    (S=24,500) and suffixes the CSV names with ``_fullsize``."""
+    from .config import IDGParams
     from .ops.registry import list_kernels
+
+    params = None
+    suffix = ""
+    if args.fullsize:
+        params = IDGParams.from_env()
+        suffix = "_fullsize"
+    elif args.stations:
+        params = IDGParams.from_env(nr_stations=args.stations)
 
     failed = []
     for workload in args.workloads.split(","):
@@ -142,10 +171,11 @@ def cmd_sweep(args) -> int:
             else args.versions.split(",")
         )
         for version in versions:
-            print(f"=== {workload} {version} ({args.mode}) ===")
+            print(f"=== {workload} {version} ({args.mode}) ===", flush=True)
             try:
                 if args.mode == "perf":
-                    _perf_one(workload, version, args.mesh)
+                    _perf_one(workload, version, args.mesh, params=params,
+                              name_suffix=suffix)
                 elif not _check_one(workload, version):
                     failed.append((workload, version))
             except Exception as exc:  # keep sweeping, report at the end
@@ -187,6 +217,70 @@ def cmd_vadd(args) -> int:
     return 0
 
 
+def cmd_grid(args) -> int:
+    """Grid-stage benchmark: batched subgrid (i)FFT + subgrid↔grid
+    scatter-add/gather (ops/grid.py — the north-star extension stage; the
+    reference stops at subgrids, README.md:78-80)."""
+    import jax
+
+    from .config import HarnessConfig, IDGParams
+    from .data import initialize_subgrids, make_perf_observation
+    from .ops.grid import grid_to_subgrids, subgrids_to_grid
+    from .types import split_complex
+    from .utils.costs import grid_costs
+    from .utils.printing import print_device_info, print_parameters
+    from .utils.report import device_name, report, report_csv
+    from .utils.roofline import roofline_fraction
+    from .utils.timing import time_kernel
+
+    params = IDGParams.from_env()
+    harness = HarnessConfig.from_env()
+    print_device_info()
+    print_parameters(params)
+    obs = make_perf_observation(params)
+    md = obs.metadata
+    cx = jax.device_put(md.coord_x)
+    cy = jax.device_put(md.coord_y)
+    g = params.grid_size
+    n = params.subgrid_size
+    apply_fft = not args.no_fft
+
+    if args.direction == "to-grid":
+        sub = jax.device_put(split_complex(initialize_subgrids(
+            params.nr_subgrids, params.nr_correlations, n
+        )))
+        fn = jax.jit(
+            lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
+        )
+        fargs = (sub, cx, cy)
+        name = "grid_add"
+    else:
+        import numpy as np
+
+        grid = jax.device_put((
+            np.zeros((params.nr_correlations, g, g), np.float32),
+            np.zeros((params.nr_correlations, g, g), np.float32),
+        ))
+        fn = jax.jit(
+            lambda gr, x, y: grid_to_subgrids(gr, x, y, n, apply_fft)
+        )
+        fargs = (grid, cx, cy)
+        name = "grid_extract"
+
+    timing = time_kernel(fn, *fargs, harness=harness)
+    gflops, gbytes, _ = grid_costs(params)
+    dev = device_name()
+    roofline = roofline_fraction(gflops / timing.seconds, gflops, gbytes, dev)
+    report(name, timing.seconds, gflops, gbytes, roofline=roofline,
+           seconds_std=timing.seconds_std)
+    report_csv(
+        name, dev, CSV_EXT, timing.seconds, gflops, gbytes,
+        output_path=harness.output_path, roofline=roofline,
+        seconds_std=timing.seconds_std,
+    )
+    return 0
+
+
 def cmd_list(args) -> int:
     from .ops.registry import list_kernels
 
@@ -204,38 +298,71 @@ def cmd_info(args) -> int:
 
 def cmd_scaling(args) -> int:
     """Weak-scaling report over mesh sizes (new vs the reference; the
-    BASELINE.json north-star scaling-efficiency measurement)."""
+    BASELINE.json north-star scaling-efficiency measurement).
+
+    Workloads: gridder / degridder (subgrid-batch DP, no collectives) and
+    pipeline (gridder → subgrid FFT → grid reduction, replicated via staged
+    psum or row-sharded via psum_scatter with --grid-sharded). With
+    --distributed, initializes jax.distributed first (multi-host run; every
+    process executes the same command)."""
     import jax
 
     from .config import HarnessConfig, IDGParams
-    from .data import make_perf_observation
+    from .data import initialize_subgrids, make_perf_observation
     from .parallel import make_mesh
-    from .parallel.sharded import shard_observation, sharded_gridder
-    from .types import split_observation
+    from .parallel.distributed import distribute_observation, init_distributed
+    from .parallel.sharded import (
+        sharded_degridder,
+        sharded_gridder,
+        sharded_gridder_to_grid,
+    )
+    from .types import split_complex, split_observation
     from .utils.costs import workload_costs
     from .utils.timing import time_kernel
+
+    if args.distributed:
+        init_distributed()
 
     params = IDGParams.from_env()
     harness = HarnessConfig.from_env()
     obs = make_perf_observation(params)
     sobs = split_observation(obs)
+    sub_pair = None
+    if args.workload == "degridder":
+        sub_pair = split_complex(initialize_subgrids(
+            params.nr_subgrids, params.nr_correlations, params.subgrid_size
+        ))
     _, _, mvis = workload_costs(params)
     sizes = [int(s) for s in args.mesh_sizes.split(",")]
     base = None
+    print(f"workload={args.workload} version={args.version}")
     print(f"{'devices':>8s} {'ms':>10s} {'MVis/s':>12s} {'efficiency':>11s}")
     for n_dev in sizes:
         if n_dev > len(jax.devices()):
             print(f"{n_dev:>8d}  (skipped: only {len(jax.devices())} devices)")
             continue
         mesh = make_mesh(n_dev)
-        sharded_sobs, _ = shard_observation(params, sobs, mesh)
-        fn = sharded_gridder(params, mesh, args.version)
-        timing = time_kernel(fn, sharded_sobs, harness=harness)
+        sharded_sobs, _ = distribute_observation(params, sobs, mesh)
+        if args.workload == "gridder":
+            fn = sharded_gridder(params, mesh, args.version)
+            fargs = (sharded_sobs,)
+        elif args.workload == "degridder":
+            fn = sharded_degridder(params, mesh, args.version)
+            fargs = (sharded_sobs, jax.device_put(sub_pair))
+        else:  # pipeline: gridder + FFT + grid reduction collective
+            fn = sharded_gridder_to_grid(
+                params, mesh, args.version, grid_sharded=args.grid_sharded
+            )
+            fargs = (sharded_sobs,)
+        timing = time_kernel(fn, *fargs, harness=harness)
         rate = mvis / timing.seconds
         if base is None:
             base = rate
         eff = rate / (base * n_dev / sizes[0])
-        print(f"{n_dev:>8d} {timing.seconds * 1e3:>10.2f} {rate:>12.2f} {eff:>10.1%}")
+        print(
+            f"{n_dev:>8d} {timing.seconds * 1e3:>10.2f} {rate:>12.2f} "
+            f"{eff:>10.1%}  (±{timing.seconds_std * 1e3:.2f} ms)"
+        )
     return 0
 
 
@@ -257,6 +384,10 @@ def main(argv=None) -> int:
     p_sweep.add_argument("--versions", default="all")
     p_sweep.add_argument("--mode", choices=["perf", "check"], default="perf")
     p_sweep.add_argument("--mesh", type=int, default=None)
+    p_sweep.add_argument("--stations", type=int, default=None,
+                         help="shrink the problem to N stations (ladder size)")
+    p_sweep.add_argument("--fullsize", action="store_true",
+                         help="reference perf defaults + _fullsize CSV suffix")
     p_sweep.set_defaults(fn=cmd_sweep)
 
     p_vadd = sub.add_parser("vadd", help="bandwidth smoke benchmark")
@@ -264,15 +395,30 @@ def main(argv=None) -> int:
     p_vadd.add_argument("--pallas", action="store_true")
     p_vadd.set_defaults(fn=cmd_vadd)
 
+    p_grid = sub.add_parser("grid", help="grid-stage benchmark (FFT + scatter-add)")
+    p_grid.add_argument("--direction", choices=["to-grid", "to-subgrids"],
+                        default="to-grid")
+    p_grid.add_argument("--no-fft", action="store_true",
+                        help="scatter/gather only (skip the subgrid DFT)")
+    p_grid.set_defaults(fn=cmd_grid)
+
     sub.add_parser("list", help="list registered kernels").set_defaults(fn=cmd_list)
     sub.add_parser("info", help="print device info").set_defaults(fn=cmd_info)
 
     p_scal = sub.add_parser("scaling", help="weak-scaling efficiency report")
+    p_scal.add_argument("--workload",
+                        choices=["gridder", "degridder", "pipeline"],
+                        default="gridder")
     p_scal.add_argument("--version", default="xla_v4")
     p_scal.add_argument("--mesh-sizes", default="1,2,4,8")
+    p_scal.add_argument("--grid-sharded", action="store_true",
+                        help="pipeline: psum_scatter row-sharded grid")
+    p_scal.add_argument("--distributed", action="store_true",
+                        help="initialize jax.distributed (multi-host)")
     p_scal.set_defaults(fn=cmd_scaling)
 
     args = parser.parse_args(argv)
+    _honor_platform_env()
     return args.fn(args)
 
 

@@ -110,10 +110,14 @@ class IDGParams:
 
 @dataclasses.dataclass(frozen=True)
 class HarnessConfig:
-    """Timing-harness knobs (app/CUDA/util.cpp:97-98; README.md:70-71)."""
+    """Timing-harness knobs (app/CUDA/util.cpp:97-98; README.md:70-71).
+
+    nr_windows (new vs the reference): repetitions of the calibrated timing
+    window, so results carry a measured noise bound (utils/timing.py)."""
 
     nr_warm_up_runs: int = 2
     nr_iterations: int = 5
+    nr_windows: int = 3
     output_path: str = "."
 
     @classmethod
@@ -121,6 +125,7 @@ class HarnessConfig:
         kwargs = dict(
             nr_warm_up_runs=get_env_var("NR_WARM_UP_RUNS", 2),
             nr_iterations=get_env_var("NR_ITERATIONS", 5),
+            nr_windows=get_env_var("NR_WINDOWS", 3),
             output_path=get_env_var("OUTPUT_PATH", "."),
         )
         kwargs.update(overrides)

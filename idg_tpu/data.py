@@ -225,6 +225,82 @@ def make_observation(params: IDGParams, seed: int = 0, include_subgrids: bool = 
     return obs, subgrids
 
 
+def make_w_observation(
+    params: IDGParams,
+    seed: int = 0,
+    w_scale: float | None = None,
+    include_subgrids: bool = False,
+):
+    """Nonzero-w synthetic observation with w-plane metadata.
+
+    The reference's machinery carries w through w_offset = w_step·(z+0.5)
+    (init.cpp:182-199; gridder_reference.cpp:32-39) but every in-tree
+    generator leaves w ≡ 0 and z ≡ 0. This generator exercises that path:
+
+    - uvw w tracks: smooth per-row arcs with amplitude ``w_scale`` (default
+      4% of the grid half-width — w ≪ u,v as in real arrays);
+    - coord_z: per-subgrid w-plane index chosen so w_off ≈ mean(w·k) — the
+      production-IDG w-plane partition, keeping the residual μ = w_off − w·k
+      small (what makes the low-rank w·n Taylor kernels applicable);
+    - w_step: if params.w_step == 0, a step spanning the w range in ~4
+      planes is chosen and a replaced params is returned.
+
+    Returns (params, Observation, subgrids_or_None). The base draws follow
+    the same glibc order as make_observation; the w tracks are a
+    deterministic function of the row index (no extra rand() draws, so
+    uvw[...,0:2], visibilities, aterms and metadata coords stay draw-for-draw
+    identical with the w-free generator).
+    """
+    import dataclasses
+
+    obs, subgrids = make_observation(params, seed, include_subgrids)
+    S, T = params.nr_subgrids, params.nr_timesteps_subgrid
+    if w_scale is None:
+        w_scale = 0.04 * (params.grid_size / 2.0)
+
+    uvw = np.array(obs.uvw, dtype=np.float64, copy=True)
+    rows = np.arange(S, dtype=np.float64)
+    amp = w_scale * (2.0 * ((rows * 0.37 + 0.11) % 1.0) - 1.0)   # [-w_scale, w_scale)
+    t = (np.arange(T, dtype=np.float64) + 0.5) / T
+    uvw[:, :, 2] = amp[:, None] * np.sin(np.pi * t)[None, :]
+
+    k = np.asarray(obs.wavenumbers, np.float64)
+    k_mean = float(k.mean())
+    # target w_off per subgrid = mean over its timesteps of w·k̄
+    md = obs.metadata
+    idx = np.asarray(md.time_offset, np.int64)[:, None] + np.arange(T)[None, :]
+    w_flat = uvw[:, :, 2].reshape(-1)
+    w_mean = w_flat[idx].mean(axis=1)                             # [S]
+    w_off_target = w_mean * k_mean                                 # radians
+
+    w_step = params.w_step
+    if w_step == 0.0:
+        span = max(float(np.abs(w_off_target).max()), 1e-30) / (2.0 * np.pi)
+        w_step = 2.0 * span / 4.0                                  # ~4 planes
+        params = dataclasses.replace(params, w_step=float(w_step))
+    z = np.round(w_off_target / (2.0 * np.pi * w_step) - 0.5).astype(np.int32)
+
+    md = Metadata(
+        time_offset=md.time_offset,
+        nr_timesteps=md.nr_timesteps,
+        aterm_index=md.aterm_index,
+        station1=md.station1,
+        station2=md.station2,
+        coord_x=md.coord_x,
+        coord_y=md.coord_y,
+        coord_z=z,
+    )
+    obs = Observation(
+        uvw=uvw.astype(np.float32),
+        wavenumbers=obs.wavenumbers,
+        visibilities=obs.visibilities,
+        spheroidal=obs.spheroidal,
+        aterms=obs.aterms,
+        metadata=md,
+    )
+    return params, obs, subgrids
+
+
 def make_perf_observation(params: IDGParams, seed: int = 0) -> Observation:
     """Performance-mode inputs.
 

@@ -8,6 +8,8 @@ go through here.
 from __future__ import annotations
 
 import inspect
+import math
+import warnings
 from functools import lru_cache, partial
 
 import jax
@@ -21,49 +23,174 @@ from ..types import (
     split_complex,
     split_observation,
 )
-from .common import canonical_time_offsets
+from .common import canonical_time_offsets, uniform_channel_spacing
 from .registry import get_kernel
 
+# Comfortably inside the 1e-5 normalized-RMS comparator gate
+# (tests/test_util.hpp:84), leaving headroom for the bf16_3x matmul floor.
+W_TAYLOR_TOL = 3e-6
+MAX_W_RANK = 6
+
 
 @lru_cache(maxsize=None)
-def _accepts_canonical(workload: str, version: str) -> bool:
+def _accepts(workload: str, version: str, param: str) -> bool:
     fn = get_kernel(workload, version).fn
-    return "canonical" in inspect.signature(fn).parameters
+    return param in inspect.signature(fn).parameters
 
 
 @lru_cache(maxsize=None)
-def _jitted(workload: str, version: str, canonical: bool = False):
+def _jitted(workload: str, version: str, canonical: bool = False,
+            w_rank: int | None = None):
     fn = get_kernel(workload, version).fn
     if canonical:
         fn = partial(fn, canonical=True)
+    if w_rank is not None:
+        fn = partial(fn, w_rank=w_rank)
     return jax.jit(fn, static_argnums=0)
 
 
 def _canonical(workload, version, params, obs) -> bool:
     """Host-side canonical-layout detection (time_offset[s] == s·T) for
     kernels that expose the gather-skip fast path."""
-    return _accepts_canonical(workload, version) and canonical_time_offsets(
+    return _accepts(workload, version, "canonical") and canonical_time_offsets(
         obs.metadata, params.nr_timesteps_subgrid
     )
 
 
+def max_mu_n(params: IDGParams, obs: Observation) -> float:
+    """Host-side upper bound on |μ·n| = |(w_off − w·k)·n|, the argument of
+    the separable kernels' rank-w Taylor of e^{iμ·n} (ops/xla/separable.py).
+
+    Uses global extremes of w, k and coord_z — cheap (no S·T·C product) and
+    pessimistic in the safe direction."""
+    w = np.asarray(obs.uvw, np.float64)[..., 2].ravel()
+    k = np.asarray(obs.wavenumbers, np.float64)
+    z = np.asarray(obs.metadata.coord_z, np.float64)
+    w_off = 2.0 * np.pi * float(params.w_step) * (z + 0.5)
+    wk = np.array([
+        w.min() * k.min(), w.min() * k.max(), w.max() * k.min(), w.max() * k.max()
+    ])
+    mu_abs = max(abs(w_off.min() - wk.max()), abs(w_off.max() - wk.min()))
+    # n_max over the subgrid (math.hpp:19-24 stable form), f64
+    half = params.image_size / 2.0
+    tmp = 2.0 * half * half  # l² + m² at the subgrid corner
+    n_max = tmp / (1.0 + math.sqrt(max(0.0, 1.0 - tmp))) if tmp <= 1.0 else 1.0
+    return float(mu_abs * n_max)
+
+
+def required_w_rank(params: IDGParams, obs: Observation,
+                    tol: float = W_TAYLOR_TOL) -> int | None:
+    """Smallest Taylor rank r with truncation bound |μ·n|^r / r! < tol, or
+    None when no rank ≤ MAX_W_RANK suffices (Taylor impractical — use a
+    direct full-phase kernel instead)."""
+    x = max_mu_n(params, obs)
+    for r in range(1, MAX_W_RANK + 1):
+        if x ** r / math.factorial(r) < tol:
+            return r
+    return None
+
+
+def _resolve(workload: str, version: str, params: IDGParams,
+             obs: Observation, w_rank=None):
+    """Apply the API-boundary correctness guards; returns (version, w_rank).
+
+    1. Channel-recurrence kernels silently assume uniform wavenumber spacing
+       (the reference v8's assumption, gridder_v8.cu:135-186); on
+       non-uniform inputs fall back to the registered non-recurrence rung.
+    2. Low-rank w·n Taylor kernels need rank r with |μ·n|^r/r! inside the
+       tolerance; auto-escalate the rank (or fall back, for fixed-rank
+       w-free rungs) when the observation's w range demands it.
+
+    An explicitly passed w_rank is respected as an override (benchmark
+    knob), with a warning when it is below the required rank.
+    """
+    entry = get_kernel(workload, version)
+    if entry.uniform_channels and not uniform_channel_spacing(obs.wavenumbers):
+        if entry.fallback is None:
+            raise ValueError(
+                f"{workload} {version} assumes uniform channel spacing and the "
+                "observation's wavenumbers are non-uniform; no fallback is "
+                "registered — pick a non-recurrence version"
+            )
+        warnings.warn(
+            f"{workload} {version} assumes uniform channel spacing; "
+            f"wavenumbers are non-uniform — falling back to {entry.fallback}",
+            stacklevel=3,
+        )
+        version = entry.fallback
+        entry = get_kernel(workload, version)
+
+    takes_rank = _accepts(workload, version, "w_rank")
+    sig_default = (
+        inspect.signature(entry.fn).parameters["w_rank"].default
+        if takes_rank else None
+    )
+    need = required_w_rank(params, obs)
+    if w_rank is not None:
+        if need is not None and w_rank < need and takes_rank:
+            warnings.warn(
+                f"w_rank={w_rank} override is below the required rank {need} "
+                f"for this observation's w range (|mu*n| bound exceeds "
+                f"{W_TAYLOR_TOL:g}); results may miss the 1e-5 gate",
+                stacklevel=3,
+            )
+        return version, (w_rank if takes_rank else None)
+    if takes_rank:
+        if need is None:
+            raise ValueError(
+                f"{workload} {version}: the observation's w range puts |mu*n| "
+                f"beyond rank-{MAX_W_RANK} Taylor accuracy; use a direct "
+                "full-phase kernel (pallas_v1 / xla_v2) instead"
+            )
+        if need > sig_default:
+            return version, need
+        return version, None
+    # Fixed-rank w-free rungs (gridder pallas_v7 / degridder pallas_v8 run
+    # at rank 1 with no w_rank parameter): fall back when rank 1 is short.
+    # Direct full-phase kernels (fixed_w_rank=None, no w_rank param) are
+    # exact in w and need no guard.
+    if (
+        entry.fixed_w_rank is not None
+        and need is not None
+        and need > entry.fixed_w_rank
+        and entry.fallback is not None
+    ):
+        warnings.warn(
+            f"{workload} {version} is a rank-{entry.fixed_w_rank} w-free "
+            f"specialization but the observation needs Taylor rank {need} — "
+            f"falling back to {entry.fallback}",
+            stacklevel=3,
+        )
+        fb_rank = need if _accepts(workload, entry.fallback, "w_rank") else None
+        return entry.fallback, fb_rank
+    return version, None
+
+
 def run_gridder(
-    params: IDGParams, obs: Observation, version: str = "xla_v2"
+    params: IDGParams, obs: Observation, version: str = "xla_v2", w_rank=None
 ) -> np.ndarray:
     """Run a gridder kernel; returns c64[S, P, N, N] (host)."""
     sobs = split_observation(obs)
-    fn = _jitted("gridder", version, _canonical("gridder", version, params, obs))
+    version, w_rank = _resolve("gridder", version, params, obs, w_rank)
+    fn = _jitted(
+        "gridder", version, _canonical("gridder", version, params, obs), w_rank
+    )
     re, im = fn(params, sobs)
     return combine_complex(np.asarray(re), np.asarray(im))
 
 
 def run_degridder(
-    params: IDGParams, obs: Observation, subgrids, version: str = "xla_v2"
+    params: IDGParams, obs: Observation, subgrids, version: str = "xla_v2",
+    w_rank=None,
 ) -> np.ndarray:
     """Run a degridder kernel; returns c64[S, T, C, P] (host)."""
     sobs = split_observation(obs)
     sub_pair = split_complex(subgrids)
-    fn = _jitted("degridder", version, _canonical("degridder", version, params, obs))
+    version, w_rank = _resolve("degridder", version, params, obs, w_rank)
+    fn = _jitted(
+        "degridder", version, _canonical("degridder", version, params, obs),
+        w_rank,
+    )
     re, im = fn(params, sobs, sub_pair)
     return combine_complex(np.asarray(re), np.asarray(im))
 
@@ -78,9 +205,12 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
 
     w_rank overrides the w-term Taylor rank for kernels that accept it
     (rank 1 is exact for w == 0 data such as the in-tree generators; the
-    general default is rank 2)."""
+    general default is rank 2). The API guards apply here too: recurrence
+    kernels fall back on non-uniform channel spacing, and the Taylor rank
+    auto-escalates when the observation's w range demands it."""
     from .pallas import STAGED
 
+    version, w_rank = _resolve(workload, version, params, obs, w_rank)
     sobs = jax.device_put(split_observation(obs))
     sub_pair = None if subgrids is None else jax.device_put(split_complex(subgrids))
 
@@ -90,7 +220,7 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         from .pallas.degridder import MAX_CHUNK
 
         stage_fn, run_fn = STAGED[(workload, version)]
-        if w_rank is not None:
+        if w_rank is not None and "w_rank" in inspect.signature(run_fn).parameters:
             run_fn = partial(run_fn, w_rank=w_rank)
         canonical = canonical_time_offsets(
             obs.metadata, params.nr_timesteps_subgrid
@@ -176,7 +306,9 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
 
         return fn, (params, chunks)
 
-    jit_fn = _jitted(workload, version, _canonical(workload, version, params, obs))
+    jit_fn = _jitted(
+        workload, version, _canonical(workload, version, params, obs), w_rank
+    )
     if workload == "gridder":
         return jit_fn, (params, sobs)
     return jit_fn, (params, sobs, sub_pair)

@@ -58,9 +58,12 @@ def phase_offset_exact(params: IDGParams, metadata: Metadata):
     q = jnp.remainder(q, 2 * N)
     po = q.astype(jnp.float32) * jnp.float32(jnp.pi / N)
     if params.w_step != 0.0:
+        # w part added un-reduced: reducing w_off mod 2π BEFORE multiplying
+        # by the non-integer n would shift the phase by 2πk·n ≢ 0 (mod 2π).
+        # |w_off·n| is small at IDG scales (n ≤ (image_size/2)²), so the f32
+        # product loses no meaningful accuracy.
         _, _, n = lmn_grids(N, params.image_size)
         w_off = TWO_PI * params.w_step * (metadata.coord_z.astype(jnp.float32) + 0.5)
-        w_off = jnp.remainder(w_off, jnp.float32(TWO_PI))
         po = po + w_off[:, None, None] * n[None, :, :]
     return po
 
@@ -192,12 +195,21 @@ def n_powers(n, w_rank: int):
 
 
 def uniform_channel_spacing(wavenumbers) -> bool:
-    """True if wavenumber spacing is uniform to f32 precision (host-side
-    check; the synthetic observations always are, init.cpp:27-46)."""
+    """True if the wavenumbers are uniformly spaced up to f32 quantization
+    (host-side check; the synthetic observations always are, init.cpp:27-46).
+
+    A genuinely uniform frequency grid stored in f32 deviates from the ideal
+    line by ~1 ulp(k) per point — which the recurrence kernels' 1e-5 gate
+    absorbs (phase error ≈ |phase_index|·dev ≲ 1e-6 rad). The check accepts
+    deviations up to 4 ulp(max|k|) from the best uniform fit and rejects
+    anything larger (real non-uniform spacing)."""
     import numpy as np
 
-    k = np.asarray(wavenumbers, dtype=np.float64)
+    k = np.asarray(wavenumbers, dtype=np.float64).ravel()
     if k.size < 3:
         return True
-    d = np.diff(k)
-    return bool(np.all(np.abs(d - d[0]) <= 1e-6 * np.abs(d[0])))
+    c = np.arange(k.size, dtype=np.float64)
+    dbar = (k[-1] - k[0]) / (k.size - 1)
+    dev = float(np.abs(k - (k[0] + c * dbar)).max())
+    ulp = float(np.spacing(np.float32(np.abs(k).max())))
+    return dev <= 4.0 * ulp

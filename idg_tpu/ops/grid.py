@@ -74,17 +74,19 @@ def subgrids_to_grid(
     """Batched subgrid iFFT + scatter-add into a [P, G, G] grid pair.
 
     sub: pair of f32[S, P, N, N]; coords are the subgrid's top-left grid
-    corner (metadata coordinate, app/common/types.hpp:19-26), clipped so the
-    N×N tile stays in bounds.
+    corner (metadata coordinate, app/common/types.hpp:19-26). Tiles that
+    overhang the grid edge WRAP periodically — consistent with the grid
+    being one period of the FFT image (the synthetic metadata draws coords
+    in [0, grid_size), init.cpp:148-150, so edge tiles do overhang).
     """
     s_count, p, n, _ = sub[0].shape
     if apply_fft:
         sub = fft2_pair(fftshift2_pair(sub), inverse=True)
         sub = fftshift2_pair(sub)
-    cx = jnp.clip(coord_x.astype(jnp.int32), 0, grid_size - n)
-    cy = jnp.clip(coord_y.astype(jnp.int32), 0, grid_size - n)
-    ys = cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    xs = cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    cy = coord_y.astype(jnp.int32)
+    cx = coord_x.astype(jnp.int32)
+    ys = (cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]) % grid_size
+    xs = (cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]) % grid_size
     grid_re = jnp.zeros((p, grid_size, grid_size), jnp.float32)
     grid_im = jnp.zeros((p, grid_size, grid_size), jnp.float32)
     val = tuple(jnp.moveaxis(v, 1, 0) for v in sub)  # [P, S, N, N]
@@ -97,13 +99,14 @@ def grid_to_subgrids(
     grid: Pair, coord_x, coord_y, subgrid_size: int, apply_fft: bool = True
 ) -> Pair:
     """Gather [S, P, N, N] subgrid tiles from a [P, G, G] grid pair and FFT
-    them to image space (the degridding direction's grid stage)."""
+    them to image space (the degridding direction's grid stage). Edge tiles
+    wrap periodically (the gather adjoint of subgrids_to_grid)."""
     n = subgrid_size
     grid_size = grid[0].shape[-1]
-    cx = jnp.clip(coord_x.astype(jnp.int32), 0, grid_size - n)
-    cy = jnp.clip(coord_y.astype(jnp.int32), 0, grid_size - n)
-    ys = cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    xs = cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    cy = coord_y.astype(jnp.int32)
+    cx = coord_x.astype(jnp.int32)
+    ys = (cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]) % grid_size
+    xs = (cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]) % grid_size
     sub = tuple(jnp.moveaxis(g[:, ys, xs], 0, 1) for g in grid)  # [S, P, N, N]
     if apply_fft:
         sub = fft2_pair(fftshift2_pair(sub), inverse=False)

@@ -176,6 +176,17 @@ def stage(params: IDGParams, sobs: SplitObservation,
     )
 
 
+def rank_precisions(w_rank: int):
+    """MXU pass policy per Taylor rank.
+
+    At the default rank 2 the correction term is bounded by |μ·n| < 2.5e-3
+    of the signal (else rank 2 would not pass the guard, ops/api.py), so a
+    single bf16 pass suffices for it; guard-escalated ranks (> 2) imply
+    correction magnitudes up to ~|μ·n| ≈ 0.3, where single-pass bf16 error
+    (~4e-3 relative) would dominate — every pass runs bf16_3x there."""
+    return ("3x", "default") if w_rank <= 2 else ("3x",) * w_rank
+
+
 def use_interpret() -> bool:
     """Pallas interpret mode off-TPU (CPU tests); compiled on TPU backends
     (the tunneled platform reports 'axon' informally but lowers Mosaic)."""

@@ -36,7 +36,8 @@ from ...types import SplitObservation
 from ..complexpair import Pair
 from ..registry import register
 from .common import (
-    jones_degridder, kcmul, kcmul_conj, slice_staged, stage, use_interpret,
+    jones_degridder, kcmul, kcmul_conj, rank_precisions, slice_staged, stage,
+    use_interpret,
 )
 from .gridder import _at_specs, _dot_mixed
 
@@ -125,6 +126,15 @@ def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile,
     po_full = (
         stg.po_x[:, 0, None, :] + stg.po_y[:, 0, :, None]
     ).reshape(-1, 1, NN)
+    if params.w_step != 0.0:
+        # the axis-separable parts exclude the (non-separable) w_off·n term
+        # (ops/common.phase_offset_parts); add it for the direct kernels
+        from ..common import w_offset_scalar
+
+        w_off = w_offset_scalar(params, sobs.metadata)
+        po_full = po_full + (
+            w_off[:, None, None] * stg.n_yx.reshape(1, 1, NN)
+        )
     sub_flat = (
         subgrids[0].reshape(S, P_POLS, NN),
         subgrids[1].reshape(S, P_POLS, NN),
@@ -185,7 +195,7 @@ def degridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
 @register(
     "degridder", "pallas_v2",
     "channel-recurrence phasor: 2 sincos per (t,pixel), complex-mul per channel",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v1",
 )
 def degridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, t_tile: int = 32,
@@ -352,7 +362,7 @@ def degridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2,
                         canonical=False):
     return _degridder_separable(
-        params, sobs, subgrids, w_rank, ("3x", "default"), interpret,
+        params, sobs, subgrids, w_rank, rank_precisions(w_rank), interpret,
         canonical=canonical,
     )
 
@@ -396,6 +406,14 @@ def _kernel_sep_recur(aidx, st1, st2,
     dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
     dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
     for c in range(C):
+        if c and c % 16 == 0:
+            # periodic exact resync bounds recurrence drift (engages for
+            # C > 16; matches the gridder kernels, gridder.py:452)
+            kc = k0 + c * dk
+            pyc = poyc_ref[0] - m_col * (v_row * kc)
+            pxc = poxc_ref[0] - m_col * (u_row * kc)
+            cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
+            cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
         lo = c * T
         phyr_s[:, lo:lo + T] = cy_re
         phyi_s[:, lo:lo + T] = cy_im
@@ -564,14 +582,14 @@ def _degridder_sep_recur_one(params, stg, subgrids, w_rank, precisions,
 @register(
     "degridder", "pallas_v5",
     "v4 + channel-recurrence phasor generation: O(N·T) sincos, c-major lanes",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def degridder_pallas_v5(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2,
                         canonical=False):
     # Uniform channel spacing assumed (reference v8's assumption).
     return _degridder_sep_recur(
-        params, sobs, subgrids, w_rank, ("3x", "default"), interpret, canonical
+        params, sobs, subgrids, w_rank, rank_precisions(w_rank), interpret, canonical
     )
 
 
@@ -580,11 +598,11 @@ def degridder_pallas_v3_staged(params, stg, subgrids, interpret=None, w_rank: in
 
 
 def degridder_pallas_v4_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
-    return _degridder_separable_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
+    return _degridder_separable_run(params, stg, subgrids, w_rank, rank_precisions(w_rank), interpret)
 
 
 def degridder_pallas_v5_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
-    return _degridder_sep_recur_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
+    return _degridder_sep_recur_run(params, stg, subgrids, w_rank, rank_precisions(w_rank), interpret)
 
 
 # --------------------------------------------------------------------------
@@ -628,6 +646,14 @@ def _kernel_polstack(aidx, st1, st2,
     dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
     dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
     for c in range(C):
+        if c and c % 16 == 0:
+            # periodic exact resync bounds recurrence drift (engages for
+            # C > 16; matches the gridder kernels, gridder.py:452)
+            kc = k0 + c * dk
+            pyc = poyc_ref[0] - m_col * (v_row * kc)
+            pxc = poxc_ref[0] - m_col * (u_row * kc)
+            cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
+            cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
         lo = c * T
         phyr_s[:, lo:lo + T] = cy_re
         phyi_s[:, lo:lo + T] = cy_im
@@ -767,19 +793,19 @@ def _degridder_polstack_one(params, stg, subgrids, w_rank, precisions,
 @register(
     "degridder", "pallas_v6",
     "pol-stacked x-first adjoint: full-M [4N,2N]x[2N,2V] MXU dot per rank",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def degridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2,
                         canonical=False):
     # Uniform channel spacing assumed (recurrence-generated phases).
     return _degridder_polstack(
-        params, sobs, subgrids, w_rank, ("3x", "default"), interpret, canonical
+        params, sobs, subgrids, w_rank, rank_precisions(w_rank), interpret, canonical
     )
 
 
 def degridder_pallas_v6_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
-    return _degridder_polstack_run(params, stg, subgrids, w_rank, ("3x", "default"), interpret)
+    return _degridder_polstack_run(params, stg, subgrids, w_rank, rank_precisions(w_rank), interpret)
 
 
 # --------------------------------------------------------------------------
@@ -822,6 +848,14 @@ def _kernel_polstack_batch(aidx, st1, st2,
         dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
         dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
         for c in range(C):
+            if c and c % 16 == 0:
+                # periodic exact resync bounds recurrence drift (engages for
+                # C > 16; matches the gridder kernels, gridder.py:642)
+                kc = k0 + c * dk
+                pyc = poyc_ref[b] - m_col * (v_row * kc)
+                pxc = poxc_ref[b] - m_col * (u_row * kc)
+                cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
+                cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
             lo = c * T
             phyr_s[:, lo:lo + T] = cy_re
             phyi_s[:, lo:lo + T] = cy_im
@@ -976,7 +1010,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
 @register(
     "degridder", "pallas_v7",
     "v6 + multi-subgrid grid steps: per-step fixed costs amortized over 4 subgrids",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2,
@@ -984,7 +1018,7 @@ def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
-        w_rank, ("3x", "default"), interpret, batch,
+        w_rank, rank_precisions(w_rank), interpret, batch,
     )
 
 
@@ -992,14 +1026,15 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                w_rank: int = 2, batch: int = 4):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
-        w_rank, ("3x", "default"), interpret, batch,
+        w_rank, rank_precisions(w_rank), interpret, batch,
     )
 
 
 @register(
     "degridder", "pallas_v8",
     "w-free specialization: rank-1 (drops the w-term correction; exact for w==0 data)",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
+    fixed_w_rank=1,
 )
 def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, canonical=False,

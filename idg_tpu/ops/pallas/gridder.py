@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import IDGParams
 from ...types import SplitObservation
 from ..registry import register
-from .common import jones_gridder, kcmul, stage, use_interpret
+from .common import jones_gridder, kcmul, rank_precisions, stage, use_interpret
 
 P_POLS = 4
 
@@ -176,6 +176,15 @@ def _gridder_direct(params, sobs, recurrence, interpret, t_tile, canonical=False
     po_full = (
         stg.po_x[:, 0, None, :] + stg.po_y[:, 0, :, None]
     ).reshape(-1, 1, NN)
+    if params.w_step != 0.0:
+        # the axis-separable parts exclude the (non-separable) w_off·n term
+        # (ops/common.phase_offset_parts); add it for the direct kernels
+        from ..common import w_offset_scalar
+
+        w_off = w_offset_scalar(params, sobs.metadata)
+        po_full = po_full + (
+            w_off[:, None, None] * stg.n_yx.reshape(1, 1, NN)
+        )
     if interpret is None:
         interpret = use_interpret()
     t_tile = min(t_tile, T)
@@ -230,7 +239,7 @@ def gridder_pallas_v1(params: IDGParams, sobs: SplitObservation,
 @register(
     "gridder", "pallas_v2",
     "channel-recurrence phasor: 2 sincos per (t,pixel), complex-mul per channel, MXU MAC",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v1",
 )
 def gridder_pallas_v2(params: IDGParams, sobs: SplitObservation,
                       interpret=None, t_tile: int = 8, canonical=False):
@@ -410,7 +419,7 @@ def gridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
 def gridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
                       interpret=None, w_rank: int = 2, canonical=False):
     return _gridder_separable(
-        params, sobs, w_rank, ("3x", "default"), interpret, canonical=canonical
+        params, sobs, w_rank, rank_precisions(w_rank), interpret, canonical=canonical
     )
 
 
@@ -579,14 +588,14 @@ def _gridder_sep_recur_run(params, stg, w_rank, precisions, interpret):
 @register(
     "gridder", "pallas_v5",
     "v4 + channel-recurrence phasor generation: O(N·T) sincos, c-major lanes",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def gridder_pallas_v5(params: IDGParams, sobs: SplitObservation,
                       interpret=None, w_rank: int = 2, canonical=False):
     # Uniform channel spacing assumed (reference v8 makes the same
     # assumption; init.cpp frequencies always satisfy it).
     return _gridder_sep_recur(
-        params, sobs, w_rank, ("3x", "default"), interpret, canonical
+        params, sobs, w_rank, rank_precisions(w_rank), interpret, canonical
     )
 
 
@@ -597,11 +606,11 @@ def gridder_pallas_v3_staged(params, stg, interpret=None, w_rank: int = 2):
 
 
 def gridder_pallas_v4_staged(params, stg, interpret=None, w_rank: int = 2):
-    return _gridder_separable_run(params, stg, w_rank, ("3x", "default"), interpret)
+    return _gridder_separable_run(params, stg, w_rank, rank_precisions(w_rank), interpret)
 
 
 def gridder_pallas_v5_staged(params, stg, interpret=None, w_rank: int = 2):
-    return _gridder_sep_recur_run(params, stg, w_rank, ("3x", "default"), interpret)
+    return _gridder_sep_recur_run(params, stg, w_rank, rank_precisions(w_rank), interpret)
 
 
 # --------------------------------------------------------------------------
@@ -800,13 +809,13 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
 @register(
     "gridder", "pallas_v6",
     "v5 + multi-subgrid grid steps: per-step fixed costs amortized over 4 subgrids",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
                       interpret=None, w_rank: int = 2, canonical=False,
                       batch: int = 4):
     return _gridder_sep_recur_batch_run(
-        params, stage(params, sobs, canonical), w_rank, ("3x", "default"),
+        params, stage(params, sobs, canonical), w_rank, rank_precisions(w_rank),
         interpret, batch,
     )
 
@@ -814,14 +823,15 @@ def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
 def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
                              batch: int = 4):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, ("3x", "default"), interpret, batch
+        params, stg, w_rank, rank_precisions(w_rank), interpret, batch
     )
 
 
 @register(
     "gridder", "pallas_v7",
     "w-free specialization: rank-1 (drops the w-term correction; exact for w==0 data)",
-    family="pallas",
+    family="pallas", uniform_channels=True, fallback="pallas_v4",
+    fixed_w_rank=1,
 )
 def gridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
                       interpret=None, canonical=False, batch: int = 4):

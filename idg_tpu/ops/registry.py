@@ -28,16 +28,32 @@ class KernelEntry:
     fn: Callable
     description: str
     family: str  # "xla" | "pallas" | "cpu"
+    # Channel-recurrence kernels (the reference v8 trick, gridder_v8.cu:
+    # 135-186) advance the phasor by a single per-channel delta and are only
+    # correct when the wavenumber spacing is uniform. `uniform_channels`
+    # marks them; `fallback` names the nearest rung with no such assumption,
+    # used by the API guard (ops/api.py) on non-uniform inputs.
+    uniform_channels: bool = False
+    fallback: str | None = None
+    # Fixed built-in Taylor rank for the w-free specializations (rank 1,
+    # exact only for w ≡ 0 data); None for exact direct kernels and for
+    # kernels exposing a tunable w_rank parameter.
+    fixed_w_rank: int | None = None
 
 
-def register(workload: str, version: str, description: str = "", family: str = ""):
+def register(workload: str, version: str, description: str = "", family: str = "",
+             uniform_channels: bool = False, fallback: str | None = None,
+             fixed_w_rank: int | None = None):
     assert workload in WORKLOADS, workload
 
     def deco(fn):
         key = (workload, version)
         assert key not in _REGISTRY, f"duplicate kernel {key}"
         fam = family or version.split("_")[0]
-        _REGISTRY[key] = KernelEntry(workload, version, fn, description, fam)
+        _REGISTRY[key] = KernelEntry(
+            workload, version, fn, description, fam, uniform_channels,
+            fallback, fixed_w_rank,
+        )
         return fn
 
     return deco

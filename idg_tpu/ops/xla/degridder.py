@@ -131,11 +131,11 @@ def degridder_xla_v2(
     "degridder",
     "xla_v3",
     "channel-recurrence phasor (2 sincos per pixel-time)",
-    family="xla",
+    family="xla", uniform_channels=True, fallback="xla_v2",
 )
 def degridder_xla_v3(
     params: IDGParams, sobs: SplitObservation, subgrids: Pair, batch_size: int = 16
 ):
     # Uniform channel spacing assumed (reference v8-style recurrence); the
-    # CLI warns when violated.
+    # API boundary falls back to xla_v2 when violated (ops/api.py).
     return _degridder_mapped(params, sobs, subgrids, batch_size, _body_channel_recurrence)

@@ -154,11 +154,11 @@ def gridder_xla_v2(params: IDGParams, sobs: SplitObservation, batch_size: int = 
     "gridder",
     "xla_v3",
     "channel-recurrence phasor (2 sincos per pixel-time, complex-mul per channel)",
-    family="xla",
+    family="xla", uniform_channels=True, fallback="xla_v2",
 )
 def gridder_xla_v3(params: IDGParams, sobs: SplitObservation, batch_size: int = 16):
     # Assumes uniform channel spacing, exactly like the reference's v8
     # (gridder_v8.cu computes one per-channel delta phase); init.cpp:27-36
-    # frequencies always are. The CLI warns when the assumption is violated
-    # (see cli.py / ops.common.uniform_channel_spacing).
+    # frequencies always are. The API boundary (ops/api.py:_guard_channels)
+    # checks the assumption and falls back to xla_v2 when it is violated.
     return _gridder_mapped(params, sobs, batch_size, _body_channel_recurrence)

@@ -7,17 +7,31 @@ the master-grid accumulation becomes an XLA collective (`psum` /
 `reduce_scatter`) over ICI.
 """
 
+from .distributed import (
+    distribute_observation,
+    hierarchical_psum,
+    init_distributed,
+    make_hier_mesh,
+)
 from .mesh import make_mesh, pad_to_multiple
 from .sharded import (
     sharded_degridder,
+    sharded_grid_to_degridder,
+    sharded_grid_to_degridder_gather,
     sharded_gridder,
     sharded_gridder_to_grid,
 )
 
 __all__ = [
+    "distribute_observation",
+    "hierarchical_psum",
+    "init_distributed",
+    "make_hier_mesh",
     "make_mesh",
     "pad_to_multiple",
     "sharded_gridder",
     "sharded_degridder",
+    "sharded_grid_to_degridder",
+    "sharded_grid_to_degridder_gather",
     "sharded_gridder_to_grid",
 ]

@@ -23,12 +23,15 @@ from ..config import IDGParams
 from ..types import Metadata, SplitObservation
 from ..ops.grid import grid_to_subgrids, subgrids_to_grid
 from ..ops.registry import get_kernel
+from .distributed import flat_axis_index, hierarchical_psum
 from .mesh import pad_axis0, pad_to_multiple
 
 
-def _obs_specs(axis: str) -> SplitObservation:
-    """SplitObservation pytree of PartitionSpecs: subgrid axis sharded."""
-    s = P(axis)
+def _obs_specs(axes) -> SplitObservation:
+    """SplitObservation pytree of PartitionSpecs: subgrid axis sharded over
+    `axes` (a name or tuple of names — multi-axis meshes shard the subgrid
+    batch over the axis product, hosts-major)."""
+    s = P(axes)
     r = P()
     md = Metadata(*([s] * len(dataclasses.fields(Metadata))))
     return SplitObservation(
@@ -37,7 +40,7 @@ def _obs_specs(axis: str) -> SplitObservation:
     )
 
 
-def _localize_time_offset(sobs: SplitObservation, params: IDGParams, axis: str):
+def _localize_time_offset(sobs: SplitObservation, params: IDGParams, axes):
     """Rebase global flat-time offsets to this shard's local buffer.
 
     time_offset indexes the flat (subgrid*T) axis of uvw/visibilities
@@ -45,8 +48,10 @@ def _localize_time_offset(sobs: SplitObservation, params: IDGParams, axis: str):
     shard's first global row. Valid because each subgrid's timesteps live in
     its own rows (the in-tree layout, init.cpp:134-159).
     """
+    if isinstance(axes, str):
+        axes = (axes,)
     s_loc = sobs.uvw.shape[0]
-    start = jax.lax.axis_index(axis) * s_loc * params.nr_timesteps_subgrid
+    start = flat_axis_index(axes) * s_loc * params.nr_timesteps_subgrid
     md = sobs.metadata
     md = dataclasses.replace(md, time_offset=md.time_offset - start)
     return dataclasses.replace(sobs, metadata=md)
@@ -54,8 +59,11 @@ def _localize_time_offset(sobs: SplitObservation, params: IDGParams, axis: str):
 
 def shard_observation(params: IDGParams, sobs: SplitObservation, mesh: Mesh):
     """Pad the subgrid axis to the mesh size and device_put with the
-    distributed sharding. Returns (sharded_sobs, padded_S)."""
-    axis = mesh.axis_names[0]
+    distributed sharding. Returns (sharded_sobs, padded_S).
+
+    Single-process only; the multi-host path is
+    parallel.distributed.distribute_observation (same layout)."""
+    axis = tuple(mesh.axis_names)
     n_dev = mesh.devices.size
     s = sobs.uvw.shape[0]
     s_pad = pad_to_multiple(s, n_dev)
@@ -94,7 +102,7 @@ def shard_observation(params: IDGParams, sobs: SplitObservation, mesh: Mesh):
 
 def sharded_gridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
     """jitted fn(sobs_sharded) -> (re, im) subgrids, sharded on axis 0."""
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)
     kernel = get_kernel("gridder", version).fn
     specs = _obs_specs(axis)
 
@@ -110,7 +118,7 @@ def sharded_gridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
 
 def sharded_degridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
     """jitted fn(sobs_sharded, sub_pair) -> (re, im) visibilities."""
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)
     kernel = get_kernel("degridder", version).fn
     specs = _obs_specs(axis)
 
@@ -136,18 +144,23 @@ def sharded_gridder_to_grid(
 
     Full adjoint pipeline across the mesh: local gridder → local subgrid
     iFFT + scatter-add → collective reduction. `grid_sharded=False` returns
-    the grid replicated via `psum` (hierarchical ICI reduction, XLA-chosen);
+    the grid replicated via a staged psum — inner (ICI) axis first, then
+    outer (DCN) axes on hierarchical meshes (distributed.hierarchical_psum);
     `grid_sharded=True` returns each chip's row-block via `psum_scatter`
-    (bandwidth-optimal when the grid stays distributed).
+    over the innermost axis (bandwidth-optimal when the grid stays
+    distributed), reduced across outer axes by psum.
     """
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+    axis = tuple(mesh.axis_names)
+    inner = axis[-1]
+    n_inner = mesh.shape[inner]
     kernel = get_kernel("gridder", version).fn
     specs = _obs_specs(axis)
     g = params.grid_size
     if grid_sharded:
-        assert g % n_dev == 0, "grid rows must divide the mesh for psum_scatter"
-    out_spec = (P(None, axis, None),) * 2 if grid_sharded else (P(), P())
+        assert g % n_inner == 0, (
+            "grid rows must divide the innermost mesh axis for psum_scatter"
+        )
+    out_spec = (P(None, inner, None),) * 2 if grid_sharded else (P(), P())
 
     @partial(
         jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=out_spec,
@@ -160,14 +173,17 @@ def sharded_gridder_to_grid(
             sub, sobs.metadata.coord_x, sobs.metadata.coord_y, g, apply_fft
         )
         if grid_sharded:
-            return tuple(
-                jax.lax.psum_scatter(
-                    x.reshape(x.shape[0], n_dev, g // n_dev, g),
-                    axis, scatter_dimension=1, tiled=False,
-                ).reshape(x.shape[0], g // n_dev, g)
-                for x in grid
-            )
-        return tuple(jax.lax.psum(x, axis) for x in grid)
+            def scatter(x):
+                x = jax.lax.psum_scatter(
+                    x.reshape(x.shape[0], n_inner, g // n_inner, g),
+                    inner, scatter_dimension=1, tiled=False,
+                ).reshape(x.shape[0], g // n_inner, g)
+                for name in axis[:-1]:   # outer (DCN) reduction of blocks
+                    x = jax.lax.psum(x, name)
+                return x
+
+            return tuple(scatter(x) for x in grid)
+        return tuple(hierarchical_psum(x, mesh) for x in grid)
 
     return jax.jit(local)
 
@@ -182,9 +198,10 @@ def sharded_grid_to_degridder(
 
     Forward pipeline: replicated grid → local tile gather + FFT → local
     degridder. The grid gather is local (no collective) because the grid is
-    replicated; a sharded-grid variant would all-gather the needed rows.
+    replicated; the sharded-grid variant (sharded_grid_to_degridder_gather)
+    all-gathers the row blocks first.
     """
-    axis = mesh.axis_names[0]
+    axis = tuple(mesh.axis_names)
     kernel = get_kernel("degridder", version).fn
     specs = _obs_specs(axis)
 
@@ -197,6 +214,45 @@ def sharded_grid_to_degridder(
         sobs = _localize_time_offset(sobs, params, axis)
         sub = grid_to_subgrids(
             grid, sobs.metadata.coord_x, sobs.metadata.coord_y,
+            params.subgrid_size, apply_fft,
+        )
+        return kernel(params, sobs, sub)
+
+    return jax.jit(local)
+
+
+def sharded_grid_to_degridder_gather(
+    params: IDGParams,
+    mesh: Mesh,
+    version: str = "xla_v2",
+    apply_fft: bool = True,
+):
+    """jitted fn(sobs_sharded, grid_pair_row_sharded) -> visibilities.
+
+    Forward pipeline for a grid that STAYS row-sharded over the innermost
+    mesh axis (the layout sharded_gridder_to_grid(grid_sharded=True)
+    produces): all_gather the row blocks over ICI, then gather tiles + FFT +
+    local degridder. The all_gather is the exact adjoint collective of the
+    gridder direction's psum_scatter.
+    """
+    axis = tuple(mesh.axis_names)
+    inner = axis[-1]
+    kernel = get_kernel("degridder", version).fn
+    specs = _obs_specs(axis)
+    g = params.grid_size
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(specs, (P(None, inner, None), P(None, inner, None))),
+        out_specs=(P(axis), P(axis)), check_vma=False,
+    )
+    def local(sobs, grid):
+        sobs = _localize_time_offset(sobs, params, axis)
+        full = tuple(
+            jax.lax.all_gather(x, inner, axis=1, tiled=True) for x in grid
+        )
+        sub = grid_to_subgrids(
+            full, sobs.metadata.coord_x, sobs.metadata.coord_y,
             params.subgrid_size, apply_fft,
         )
         return kernel(params, sobs, sub)

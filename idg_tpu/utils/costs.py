@@ -56,6 +56,48 @@ flops_degridder = flops_gridder
 bytes_degridder = bytes_gridder
 
 
+def flops_grid(nr_subgrids: int, subgrid_size: int, nr_correlations: int) -> int:
+    """Grid-stage cost model (new: the reference has no in-tree grid stage,
+    README.md:78-80; this framework's ops/grid.py adds it per the north
+    star). Counts the DFT-matmul FFT and the scatter-add, both complex:
+
+    - 2-D DFT via two [N,N]×[N,N] complex matmuls per pol per subgrid:
+      2 axes · P · 8·N³ flops (8 = complex multiply-add);
+    - fftshift (the reference's 6-flop 'shift' term per pixel,
+      common.cpp:104) and the grid scatter-add (2 flops/pixel/pol).
+    """
+    n = subgrid_size
+    per_subgrid = 2 * nr_correlations * 8 * n * n * n
+    per_subgrid += n * n * 6
+    per_subgrid += n * n * nr_correlations * 2
+    return int(nr_subgrids * per_subgrid)
+
+
+def bytes_grid(
+    nr_subgrids: int, subgrid_size: int, nr_correlations: int, grid_size: int
+) -> int:
+    """Grid-stage traffic: subgrids read + written (FFT), tiles re-read +
+    grid read-modify-write at the scatter."""
+    n = subgrid_size
+    complex_bytes = 2 * FLOAT_BYTES
+    per_subgrid = 3 * n * n * nr_correlations * complex_bytes  # read+write+read
+    total = nr_subgrids * per_subgrid
+    total += 2 * grid_size * grid_size * nr_correlations * complex_bytes  # grid rw
+    return int(total)
+
+
+def grid_costs(params: IDGParams):
+    """(gflops, gbytes, mvis=0) for one grid-stage pass."""
+    gflops = 1e-9 * flops_grid(
+        params.nr_subgrids, params.subgrid_size, params.nr_correlations
+    )
+    gbytes = 1e-9 * bytes_grid(
+        params.nr_subgrids, params.subgrid_size, params.nr_correlations,
+        params.grid_size,
+    )
+    return gflops, gbytes, 0.0
+
+
 def workload_costs(params: IDGParams):
     """(gflops, gbytes, mvis) for one kernel pass at these parameters,
     exactly as computed in the perf driver (app/CUDA/util.cpp:196-202)."""

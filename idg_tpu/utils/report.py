@@ -16,8 +16,11 @@ from typing import Optional
 from ..config import get_env_var
 
 
-def _metrics(seconds, gflops, gbytes, mvis, joules, roofline=None):
+def _metrics(seconds, gflops, gbytes, mvis, joules, roofline=None,
+             seconds_std=None):
     rows = [("ms", seconds * 1e3)]
+    if seconds_std is not None:
+        rows.append(("ms_stddev", seconds_std * 1e3))
     if gflops:
         rows.append(("GFLOP/s", gflops / seconds))
     if gbytes:
@@ -43,9 +46,14 @@ def report(
     mvis: float = 0.0,
     joules: float = 0.0,
     roofline: Optional[float] = None,
+    seconds_std: Optional[float] = None,
 ) -> None:
-    """Console one-liner (common.cpp:27-56 format; roofline % is new)."""
-    parts = [f"{name:>20s}: {seconds * 1e3:7.2f} ms"]
+    """Console one-liner (common.cpp:27-56 format; roofline % and the ±σ
+    noise bound are new)."""
+    head = f"{name:>20s}: {seconds * 1e3:7.2f} ms"
+    if seconds_std is not None:
+        head += f" (±{seconds_std * 1e3:.2f})"
+    parts = [head]
     for label, value in _metrics(seconds, gflops, gbytes, mvis, joules, roofline)[1:]:
         parts.append(f"{value:7.2f} {label}")
     print(", ".join(parts))
@@ -62,6 +70,7 @@ def report_csv(
     joules: float = 0.0,
     output_path: Optional[str] = None,
     roofline: Optional[float] = None,
+    seconds_std: Optional[float] = None,
 ) -> Optional[str]:
     """CSV emitter (common.cpp:58-98). Returns the written path."""
     if not device_name or not file_extension:
@@ -73,8 +82,11 @@ def report_csv(
     file_path = os.path.join(path, f"{device_name}-{name}{file_extension}")
     print(file_path)
     with open(file_path, "w") as f:
-        for label, value in _metrics(seconds, gflops, gbytes, mvis, joules, roofline):
-            f.write(f"{label},{value:.2f}\n")
+        for label, value in _metrics(
+            seconds, gflops, gbytes, mvis, joules, roofline, seconds_std
+        ):
+            f.write(f"{label},{value:.4g}\n" if label == "ms_stddev"
+                    else f"{label},{value:.2f}\n")
     return file_path
 
 

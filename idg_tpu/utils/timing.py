@@ -37,11 +37,24 @@ def _force(out) -> None:
 
 @dataclasses.dataclass(frozen=True)
 class TimingResult:
-    seconds: float          # mean seconds per iteration
-    iterations: int
+    seconds: float          # min-window seconds per iteration (robust estimate)
+    iterations: int         # iterations per window
     warmup_runs: int
     all_seconds: tuple      # per-window wall times (windows of 1+ iterations)
     sync_overhead: float    # measured per-window sync cost (subtracted)
+
+    @property
+    def seconds_mean(self) -> float:
+        """Mean per-iteration seconds across windows."""
+        w = np.asarray(self.all_seconds)
+        return float((w.mean() - self.sync_overhead) / self.iterations)
+
+    @property
+    def seconds_std(self) -> float:
+        """Per-iteration standard deviation across windows (noise bound; 0
+        with a single window)."""
+        w = np.asarray(self.all_seconds)
+        return float(w.std(ddof=1) / self.iterations) if w.size > 1 else 0.0
 
 
 def time_kernel(
@@ -93,14 +106,20 @@ def time_kernel(
         iters = min(4096, max(iters * 4, int(iters * 12.0 * sync_overhead / max(total, 1e-9))))
         total = window(iters)
 
+    # Repeat the calibrated window so the result carries a measured noise
+    # bound (min = headline estimate; mean/σ via TimingResult properties).
+    windows = [total]
+    for _ in range(max(0, cfg.nr_windows - 1)):
+        windows.append(window(iters))
+
     if profile_dir:
         jax.profiler.stop_trace()
 
-    per_iter = max(total - sync_overhead, 1e-12) / iters
+    per_iter = max(min(windows) - sync_overhead, 1e-12) / iters
     return TimingResult(
         seconds=per_iter,
         iterations=iters,
         warmup_runs=cfg.nr_warm_up_runs,
-        all_seconds=(total,),
+        all_seconds=tuple(windows),
         sync_overhead=sync_overhead,
     )

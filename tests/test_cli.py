@@ -97,3 +97,43 @@ def test_bench_emits_one_json_line(tmp_path):
     payload = json.loads(proc.stdout.strip().splitlines()[-1])
     assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
     assert payload["value"] > 0
+
+
+def test_cli_grid_stage(tmp_path):
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["grid"], extra_env=env)
+    assert proc.returncode == 0, proc.stderr
+    csvs = list(tmp_path.glob("*grid_add-tpu.csv"))
+    assert len(csvs) == 1
+    metrics = dict(
+        line.split(",") for line in csvs[0].read_text().strip().splitlines()
+    )
+    assert set(metrics) >= {"ms", "ms_stddev", "GFLOP/s", "GB/s"}
+
+
+def test_cli_scaling_pipeline():
+    env = dict(
+        SMALL_ENV,
+        NR_TIMESLOTS="4",
+        NR_STATIONS="5",
+        NR_WINDOWS="2",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    proc = _run(
+        ["scaling", "--workload", "pipeline", "--version", "xla_v2",
+         "--mesh-sizes", "8"],
+        extra_env=env,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "MVis/s" in proc.stdout
+
+
+def test_cli_sweep_stations_suffix(tmp_path):
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(
+        ["sweep", "--workloads", "gridder", "--versions", "xla_v2",
+         "--stations", "3"],
+        extra_env=env,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*gridder_xla_v2-tpu.csv"))
