@@ -42,7 +42,7 @@ def _honor_platform_env() -> None:
 
 def _perf_one(workload: str, version: str, mesh_size: int | None,
               w_rank: int | None = None, params=None,
-              name_suffix: str = "") -> float:
+              name_suffix: str = "", w_obs: bool = False) -> float:
     """Performance mode (p_run_gridder_ semantics, app/CUDA/util.cpp:172-249).
 
     Returns the mean seconds per launch.
@@ -63,7 +63,15 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
     print_device_info()
     print_parameters(params)
 
-    obs = make_perf_observation(params)
+    if w_obs:
+        # w-realistic benchmark data: nonzero w tracks + w-plane metadata
+        # (make_w_observation), so the rank-2 w·n Taylor work is real work
+        from .data import make_w_observation
+
+        params, obs, _ = make_w_observation(params)
+        name_suffix = name_suffix + "_wobs"
+    else:
+        obs = make_perf_observation(params)
     subgrids = None
     if workload == "degridder":
         subgrids = initialize_subgrids(
@@ -141,7 +149,8 @@ def _check_one(workload: str, version: str) -> bool:
 
 def cmd_run(args) -> int:
     if args.mode == "perf":
-        _perf_one(args.workload, args.version, args.mesh, args.w_rank)
+        _perf_one(args.workload, args.version, args.mesh, args.w_rank,
+                  w_obs=args.w_obs)
         return 0
     ok = _check_one(args.workload, args.version)
     return 0 if ok else 1
@@ -377,6 +386,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--mesh", type=int, default=None, help="shard over N devices")
     p_run.add_argument("--w-rank", type=int, default=None,
                        help="w-term Taylor rank override (1 is exact for w==0 data)")
+    p_run.add_argument("--w-obs", action="store_true",
+                       help="perf: use the nonzero-w generator (w-plane "
+                            "metadata; CSV suffixed _wobs)")
     p_run.set_defaults(fn=cmd_run)
 
     p_sweep = sub.add_parser("sweep", help="run many kernels (run_perf_*.sh analogue)")

@@ -225,13 +225,35 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         canonical = canonical_time_offsets(
             obs.metadata, params.nr_timesteps_subgrid
         )
-        stg = jax.jit(
-            partial(
-                stage_fn, canonical=canonical,
-                with_vis=(workload == "gridder"),
-            ),
-            static_argnums=0,
-        )(params, sobs)
+        stage_jit = partial(
+            stage_fn, canonical=canonical, with_vis=(workload == "gridder"),
+        )
+        # Pin the staged arrays row-major: XLA otherwise hands some of them
+        # (po_x_col/po_y_col [S,N,1], uvw_rows [S,3,T]) to the kernel in an
+        # S-minor layout and re-inserts a relayout copy into EVERY timed
+        # launch (~2% of the gridder step in xplane traces). Pinning moves
+        # that copy into the one-time staging pass.
+        stage_shardings = None
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            dev_shard = SingleDeviceSharding(jax.devices()[0])
+            shapes = jax.eval_shape(stage_jit, params, sobs)
+            stage_shardings = jax.tree.map(
+                lambda s: Format(
+                    Layout(major_to_minor=tuple(range(s.ndim))), dev_shard
+                ),
+                shapes,
+            )
+        except Exception:
+            stage_shardings = None
+        if stage_shardings is not None:
+            stg = jax.jit(
+                stage_jit, static_argnums=0, out_shardings=stage_shardings
+            )(params, sobs)
+        else:
+            stg = jax.jit(stage_jit, static_argnums=0)(params, sobs)
         jax.block_until_ready(jax.tree_util.tree_leaves(stg))
         # Pin row-major output layouts for the GRIDDER: XLA otherwise picks
         # an S-minor layout for the [S,P,N,N] results and appends a 15 MB

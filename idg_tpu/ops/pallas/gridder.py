@@ -16,9 +16,10 @@ SURVEY.md §2.4):
              becomes one packed [2N, V]×[V, 2·N·P] MXU matmul per rank with
              only O(V·N) sincos. Fuses W-forming in VMEM (the XLA version
              spills ~100 GB of W traffic to HBM per pass).
-  pallas_v4  v3 + mixed-precision MXU passes: the rank-0 term runs bf16_3x
-             ('high'), the rank-1 correction (≤1e-3 of the signal) runs
-             single-pass bf16.
+  pallas_v4  v3 + mixed-precision MXU passes: the rank-0 term runs the
+             packed 2-pass "3x2" bf16 split (fills the 128-row MXU tile the
+             M=64 dot wastes, at full 4-product accuracy); the rank-1
+             correction (≤2.5e-3 of the signal) runs single-pass bf16.
   pallas_v5  v4 + channel-recurrence phasor GENERATION: sincos only for the
              channel-0 Φ planes and the per-channel delta (O(N·T) instead of
              O(N·V) transcendentals), c-major lanes, VMEM scratch planes.
@@ -41,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import IDGParams
 from ...types import SplitObservation
 from ..registry import register
-from .common import jones_gridder, kcmul, rank_precisions, stage, use_interpret
+from .common import jones_gridder, kcmul, stage, use_interpret
 
 P_POLS = 4
 
@@ -63,12 +64,34 @@ def _dot_mixed(lhs, rhs, mode: str, transpose_rhs: bool = False, dims=None):
 
     if mode in ("highest", "default"):
         return d(lhs, rhs, mode)
-    assert mode == "3x", mode
     lh = lhs.astype(jnp.bfloat16)
     ll = (lhs - lh.astype(jnp.float32)).astype(jnp.bfloat16)
     rh = rhs.astype(jnp.bfloat16)
     rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+    if mode == "3x2":
+        # 2-pass packed variant for M ≤ 64 dots (the gridder's M = 2N = 64
+        # wastes half a 128-row MXU tile): stack the hi/lo LHS split on the
+        # M axis so each pass fills the tile, recovering ALL FOUR split
+        # products in two passes — one fewer pass than 3x AND full
+        # (lh+ll)·(rh+rl) accuracy.
+        assert dims[0] == ((1,), (1,)), "3x2 requires the A·Bᵀ orientation"
+        m = lhs.shape[0]
+        l2 = jnp.concatenate([lh, ll], axis=0)
+        pa = d(l2, rh)
+        pb = d(l2, rl)
+        return (pa[:m] + pa[m:]) + (pb[:m] + pb[m:])
+    assert mode == "3x", mode
     return d(lh, rh) + (d(lh, rl) + d(ll, rh))
+
+
+
+def gridder_precisions(w_rank: int):
+    """Gridder MXU pass policy: packed 2-pass "3x2" for the rank-0 signal
+    (the gridder's M = 64 dot qualifies — see _dot_mixed); corrections run
+    single-pass bf16 at the default rank, "3x2" throughout for
+    guard-escalated ranks (larger correction magnitudes, cf.
+    common.rank_precisions)."""
+    return ("3x2", "default") if w_rank <= 2 else ("3x2",) * w_rank
 
 
 def _epilogue(pix, sph, a1, a2):
@@ -419,7 +442,7 @@ def gridder_pallas_v3(params: IDGParams, sobs: SplitObservation,
 def gridder_pallas_v4(params: IDGParams, sobs: SplitObservation,
                       interpret=None, w_rank: int = 2, canonical=False):
     return _gridder_separable(
-        params, sobs, w_rank, rank_precisions(w_rank), interpret, canonical=canonical
+        params, sobs, w_rank, gridder_precisions(w_rank), interpret, canonical=canonical
     )
 
 
@@ -595,7 +618,7 @@ def gridder_pallas_v5(params: IDGParams, sobs: SplitObservation,
     # Uniform channel spacing assumed (reference v8 makes the same
     # assumption; init.cpp frequencies always satisfy it).
     return _gridder_sep_recur(
-        params, sobs, w_rank, rank_precisions(w_rank), interpret, canonical
+        params, sobs, w_rank, gridder_precisions(w_rank), interpret, canonical
     )
 
 
@@ -606,11 +629,11 @@ def gridder_pallas_v3_staged(params, stg, interpret=None, w_rank: int = 2):
 
 
 def gridder_pallas_v4_staged(params, stg, interpret=None, w_rank: int = 2):
-    return _gridder_separable_run(params, stg, w_rank, rank_precisions(w_rank), interpret)
+    return _gridder_separable_run(params, stg, w_rank, gridder_precisions(w_rank), interpret)
 
 
 def gridder_pallas_v5_staged(params, stg, interpret=None, w_rank: int = 2):
-    return _gridder_sep_recur_run(params, stg, w_rank, rank_precisions(w_rank), interpret)
+    return _gridder_sep_recur_run(params, stg, w_rank, gridder_precisions(w_rank), interpret)
 
 
 # --------------------------------------------------------------------------
@@ -815,7 +838,7 @@ def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
                       interpret=None, w_rank: int = 2, canonical=False,
                       batch: int = 4):
     return _gridder_sep_recur_batch_run(
-        params, stage(params, sobs, canonical), w_rank, rank_precisions(w_rank),
+        params, stage(params, sobs, canonical), w_rank, gridder_precisions(w_rank),
         interpret, batch,
     )
 
@@ -823,7 +846,7 @@ def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
 def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
                              batch: int = 4):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, rank_precisions(w_rank), interpret, batch
+        params, stg, w_rank, gridder_precisions(w_rank), interpret, batch
     )
 
 
@@ -842,12 +865,12 @@ def gridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
     (error ≈ |μ·n| ≲ 1e-3 rad per visibility at reference scales). The
     general-w kernels are v3–v6."""
     return _gridder_sep_recur_batch_run(
-        params, stage(params, sobs, canonical), 1, ("3x",), interpret, batch
+        params, stage(params, sobs, canonical), 1, ("3x2",), interpret, batch
     )
 
 
 def gridder_pallas_v7_staged(params, stg, interpret=None, batch: int = 4,
                              w_rank: int = 1):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, ("3x",), interpret, batch
+        params, stg, w_rank, ("3x2",), interpret, batch
     )
