@@ -44,6 +44,14 @@ from .gridder import _at_specs, _dot_mixed
 P_POLS = 4
 
 
+def degridder_precisions(w_rank: int):
+    """Degridder pol-stacked (v6+) MXU pass policy: the K-packed 2-pass
+    "3x2k" mode for the rank-0 signal (the [4N,2N]x[2N,2V] dot runs at
+    K = 64 — see gridder._dot_mixed); corrections single-pass bf16 at the
+    default rank, "3x2k" throughout for guard-escalated ranks."""
+    return ("3x2k", "default") if w_rank <= 2 else ("3x2k",) * w_rank
+
+
 def _prologue(pix, sph, a1, a2):
     """Taper + Jones staging of the input subgrid
     (degridder_reference.cpp:35-74): per-pol tiles A1·(sph·P)·A2ᴴ."""
@@ -171,6 +179,11 @@ def _degridder_direct(params, sobs, subgrids, recurrence, interpret, t_tile,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled recurrence body needs ~19 MB scoped VMEM at the
+            # perf problem (T=128, C=16) — the 16 MB default OOMs
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(
         stg.aterm_index, stg.station1, stg.station2,
         stg.uvw, stg.wavenumbers, po_full, lmn,
@@ -800,12 +813,12 @@ def degridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
                         canonical=False):
     # Uniform channel spacing assumed (recurrence-generated phases).
     return _degridder_polstack(
-        params, sobs, subgrids, w_rank, rank_precisions(w_rank), interpret, canonical
+        params, sobs, subgrids, w_rank, degridder_precisions(w_rank), interpret, canonical
     )
 
 
 def degridder_pallas_v6_staged(params, stg, subgrids, interpret=None, w_rank: int = 2):
-    return _degridder_polstack_run(params, stg, subgrids, w_rank, rank_precisions(w_rank), interpret)
+    return _degridder_polstack_run(params, stg, subgrids, w_rank, degridder_precisions(w_rank), interpret)
 
 
 # --------------------------------------------------------------------------
@@ -1018,7 +1031,7 @@ def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
-        w_rank, rank_precisions(w_rank), interpret, batch,
+        w_rank, degridder_precisions(w_rank), interpret, batch,
     )
 
 
@@ -1026,7 +1039,7 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                w_rank: int = 2, batch: int = 4):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
-        w_rank, rank_precisions(w_rank), interpret, batch,
+        w_rank, degridder_precisions(w_rank), interpret, batch,
     )
 
 
@@ -1045,7 +1058,7 @@ def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
-        1, ("3x",), interpret, batch,
+        1, ("3x2k",), interpret, batch,
     )
 
 
@@ -1053,5 +1066,5 @@ def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
                                batch: int = 4, w_rank: int = 1):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
-        w_rank, ("3x",), interpret, batch,
+        w_rank, ("3x2k",), interpret, batch,
     )

@@ -80,6 +80,17 @@ def _dot_mixed(lhs, rhs, mode: str, transpose_rhs: bool = False, dims=None):
         pa = d(l2, rh)
         pb = d(l2, rl)
         return (pa[:m] + pa[m:]) + (pb[:m] + pb[m:])
+    if mode == "3x2k":
+        # 2-pass K-packed variant for K ≤ 64 dots (the degridder's K = 2N =
+        # 64 loads only half the MXU's 128-deep contraction): stack the
+        # hi/lo splits on the CONTRACTION axis — each pass then sums two of
+        # the four split products at the same tile cost. One fewer pass
+        # than 3x AND full (lh+ll)·(rh+rl) accuracy.
+        assert dims == (((1,), (0,)), ((), ())), "3x2k requires A·B orientation"
+        l2 = jnp.concatenate([lh, ll], axis=1)
+        ra = jnp.concatenate([rh, rl], axis=0)
+        rb = jnp.concatenate([rl, rh], axis=0)
+        return d(l2, ra) + d(l2, rb)
     assert mode == "3x", mode
     return d(lh, rh) + (d(lh, rl) + d(ll, rh))
 
@@ -240,6 +251,11 @@ def _gridder_direct(params, sobs, recurrence, interpret, t_tile, canonical=False
     )
     re, im = pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # the unrolled recurrence body needs ~19 MB scoped VMEM at the
+            # perf problem (T=128, C=16) — the 16 MB default OOMs
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(
         stg.aterm_index, stg.station1, stg.station2,
         stg.uvw, stg.vis_re, stg.vis_im, stg.wavenumbers,
@@ -640,6 +656,13 @@ def gridder_pallas_v5_staged(params, stg, interpret=None, w_rank: int = 2):
 # pallas_v6: v5 with multi-subgrid grid steps (fixed-cost amortization)
 # --------------------------------------------------------------------------
 
+def _bf16_split(x):
+    """(hi, lo) bf16 mantissa split of an f32 value (hi + lo ≈ x)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _kernel_sep_recur_batch(aidx, st1, st2,
                             uvwr_ref, mur_ref, vre_ref, vim_ref, k_ref,
                             poxc_ref, poyc_ref, mcol_ref, npack_ref, sph_ref,
@@ -648,15 +671,30 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     """v5's body unrolled over `batch` subgrids per grid step: per-step
     fixed costs (DMA setup, grid bookkeeping) amortize across the batch.
     Each subgrid's Jones terms arrive through its own scalar-prefetch-
-    indexed aterm blocks (4·batch input specs)."""
+    indexed aterm blocks (4·batch input specs).
+
+    The MXU operands are PRE-SPLIT into bf16 hi/lo scratches at write time:
+    the recurrence stores the Φy planes as a packed [4N, V] (hi block, lo
+    block) bf16 scratch, and W-forming stores its hi/lo parts directly — so
+    the "3x2" packed dot (see _dot_mixed) needs no separate convert /
+    concatenate passes over the [2NP, V] operands; each rank is two plain
+    bf16 dots plus register adds."""
     at_refs = rest[:4 * batch]
-    out_re_ref, out_im_ref, lhs_s, phxr_s, phxi_s, rhs_s = rest[4 * batch:]
+    (out_re_ref, out_im_ref,
+     lhs2_s, phxr_s, phxi_s, rhsh_s, rhsl_s) = rest[4 * batch:]
     NP = N * P_POLS
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
     m_col = mcol_ref[...]                           # [N, 1]
     npack = npack_ref[...]
     sph = sph_ref[...]
+
+    def dd(a, bmat):
+        # plain single-pass bf16 dot, A·Bᵀ orientation
+        return jax.lax.dot_general(
+            a, bmat, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     for b in range(batch):
         uvw = uvwr_ref[b]                           # [3, T]
@@ -680,14 +718,17 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                 cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
                 cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
             lo = c * T
-            lhs_s[0:N, lo:lo + T] = cy_re
-            lhs_s[N:2 * N, lo:lo + T] = cy_im
+            yr_h, yr_l = _bf16_split(cy_re)
+            yi_h, yi_l = _bf16_split(cy_im)
+            lhs2_s[0:N, lo:lo + T] = yr_h
+            lhs2_s[N:2 * N, lo:lo + T] = yi_h
+            lhs2_s[2 * N:3 * N, lo:lo + T] = yr_l
+            lhs2_s[3 * N:4 * N, lo:lo + T] = yi_l
             phxr_s[:, lo:lo + T] = cx_re
             phxi_s[:, lo:lo + T] = cx_im
             if c + 1 < C:
                 cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
                 cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
-        lhs = lhs_s[...]
         phx_re = phxr_s[...]
         phx_im = phxi_s[...]
 
@@ -698,6 +739,7 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         cr = jnp.ones_like(mu)
         ci = jnp.zeros_like(mu)
         for r in range(w_rank):
+            mode = precisions[min(r, len(precisions) - 1)]
             if r:
                 cr, ci = -ci * mu / r, cr * mu / r
             for p in range(P_POLS):
@@ -708,14 +750,31 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                     tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci
                     ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
                 w_re, w_im = kcmul(phx_re, phx_im, tr, ti)
-                # write W parts straight into the RHS scratch — skips the
-                # [2NP, V] concatenate copy (~2 MB/rank of VMEM traffic)
-                rhs_s[p * N:(p + 1) * N, :] = w_re
-                rhs_s[NP + p * N:NP + (p + 1) * N, :] = w_im
-            prod = _dot_mixed(
-                lhs, rhs_s[...], precisions[min(r, len(precisions) - 1)],
-                transpose_rhs=True,
-            )
+                wr_h, wr_l = _bf16_split(w_re)
+                wi_h, wi_l = _bf16_split(w_im)
+                rhsh_s[p * N:(p + 1) * N, :] = wr_h
+                rhsh_s[NP + p * N:NP + (p + 1) * N, :] = wi_h
+                if mode != "default":
+                    rhsl_s[p * N:(p + 1) * N, :] = wr_l
+                    rhsl_s[NP + p * N:NP + (p + 1) * N, :] = wi_l
+            if mode == "default":
+                # single-pass bf16 (hi parts only) for small corrections
+                prod = dd(lhs2_s[0:2 * N, :], rhsh_s[...])
+            elif mode == "3x":
+                # classic 3-product split at M = 2N, from the pre-split
+                # scratches (no convert/concat passes)
+                lh = lhs2_s[0:2 * N, :]
+                ll = lhs2_s[2 * N:4 * N, :]
+                prod = dd(lh, rhsh_s[...]) + (
+                    dd(lh, rhsl_s[...]) + dd(ll, rhsh_s[...])
+                )
+            else:
+                # "3x2": packed 2-pass full-accuracy dot (all four products)
+                pa = dd(lhs2_s[...], rhsh_s[...])
+                pb = dd(lhs2_s[...], rhsl_s[...])
+                prod = (pa[0:2 * N] + pa[2 * N:4 * N]) + (
+                    pb[0:2 * N] + pb[2 * N:4 * N]
+                )
             c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
             c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
             outs.append((c_re, c_im))
@@ -805,10 +864,11 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * N, V), jnp.float32),
-            pltpu.VMEM((N, V), jnp.float32),
-            pltpu.VMEM((N, V), jnp.float32),
-            pltpu.VMEM((2 * N * P_POLS, V), jnp.float32),
+            pltpu.VMEM((4 * N, V), jnp.bfloat16),            # Φy hi|lo packed
+            pltpu.VMEM((N, V), jnp.float32),                  # Φx re
+            pltpu.VMEM((N, V), jnp.float32),                  # Φx im
+            pltpu.VMEM((2 * N * P_POLS, V), jnp.bfloat16),   # W hi
+            pltpu.VMEM((2 * N * P_POLS, V), jnp.bfloat16),   # W lo
         ],
     )
     out_shape = (
@@ -844,9 +904,10 @@ def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
 
 
 def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
-                             batch: int = 4):
+                             batch: int = 4, precisions=None):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, gridder_precisions(w_rank), interpret, batch
+        params, stg, w_rank, precisions or gridder_precisions(w_rank),
+        interpret, batch,
     )
 
 
@@ -870,7 +931,7 @@ def gridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
 
 
 def gridder_pallas_v7_staged(params, stg, interpret=None, batch: int = 4,
-                             w_rank: int = 1):
+                             w_rank: int = 1, precisions=None):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, ("3x2",), interpret, batch
+        params, stg, w_rank, precisions or ("3x2",), interpret, batch
     )
