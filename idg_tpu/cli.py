@@ -61,7 +61,6 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
         params = IDGParams.from_env()
     harness = HarnessConfig.from_env()
     print_device_info()
-    print_parameters(params)
 
     if w_obs:
         # w-realistic benchmark data: nonzero w tracks + w-plane metadata
@@ -72,6 +71,7 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
         name_suffix = name_suffix + "_wobs"
     else:
         obs = make_perf_observation(params)
+    print_parameters(params)
     subgrids = None
     if workload == "degridder":
         subgrids = initialize_subgrids(

@@ -9,15 +9,20 @@ extension stage. TPU-native design choices:
   of [N,N] matmuls per axis — MXU work, and complex-free (split-complex
   pairs; this TPU backend rejects complex64 anyway). An N·log N FFT would be
   slower than one 32×32 matmul on the MXU.
-- scatter-add via one batched `.at[].add` — XLA lowers to a single scatter.
+- scatter-add / gather with N×N WINDOWS (lax.scatter_add update windows,
+  vmapped dynamic_slice) over a wrap-padded grid — the elementwise-index
+  formulation lowers to a per-element TPU scatter that measured ~3 s per
+  pass at the default problem; windowed updates are dynamic-slice-adds.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .complexpair import Pair
 
@@ -68,6 +73,34 @@ def fftshift2_pair(x: Pair) -> Pair:
     )
 
 
+def _scatter_add_tiles(tiles, cy, cx, grid_size: int):
+    """Windowed scatter-add of [S, P, N, N] tiles at rows cy / cols cx into
+    a padded [P, G+N, G+N] grid, then fold the wrap margins back.
+
+    One lax.scatter_add with N×N UPDATE WINDOWS — orders of magnitude
+    faster on TPU than the elementwise-index formulation (each window is a
+    dynamic-slice-add, not S·N² scattered elements). Coordinates are taken
+    mod G, so every window lands in-bounds of the padded grid; the N-wide
+    right/bottom margins are then added onto the opposite edges, which is
+    exactly periodic wrap."""
+    s_count, p, n, _ = tiles.shape
+    g = grid_size
+    padded = jnp.zeros((p, g + n, g + n), tiles.dtype)
+    idx = jnp.stack([cy % g, cx % g], axis=-1)       # [S, 2]
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(1, 2),
+    )
+    padded = lax.scatter_add(
+        padded, idx, tiles, dn,
+        indices_are_sorted=False, unique_indices=False,
+    )
+    # fold x margin, then y margin (periodic wrap)
+    main = padded[:, :, :g].at[:, :, :n].add(padded[:, :, g:])
+    return main[:, :g, :].at[:, :n, :].add(main[:, g:, :])
+
+
 def subgrids_to_grid(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True
 ) -> Pair:
@@ -79,20 +112,14 @@ def subgrids_to_grid(
     being one period of the FFT image (the synthetic metadata draws coords
     in [0, grid_size), init.cpp:148-150, so edge tiles do overhang).
     """
-    s_count, p, n, _ = sub[0].shape
     if apply_fft:
         sub = fft2_pair(fftshift2_pair(sub), inverse=True)
         sub = fftshift2_pair(sub)
     cy = coord_y.astype(jnp.int32)
     cx = coord_x.astype(jnp.int32)
-    ys = (cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]) % grid_size
-    xs = (cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]) % grid_size
-    grid_re = jnp.zeros((p, grid_size, grid_size), jnp.float32)
-    grid_im = jnp.zeros((p, grid_size, grid_size), jnp.float32)
-    val = tuple(jnp.moveaxis(v, 1, 0) for v in sub)  # [P, S, N, N]
-    grid_re = grid_re.at[:, ys, xs].add(val[0])
-    grid_im = grid_im.at[:, ys, xs].add(val[1])
-    return grid_re, grid_im
+    return tuple(
+        _scatter_add_tiles(v, cy, cx, grid_size) for v in sub
+    )
 
 
 def grid_to_subgrids(
@@ -100,14 +127,25 @@ def grid_to_subgrids(
 ) -> Pair:
     """Gather [S, P, N, N] subgrid tiles from a [P, G, G] grid pair and FFT
     them to image space (the degridding direction's grid stage). Edge tiles
-    wrap periodically (the gather adjoint of subgrids_to_grid)."""
+    wrap periodically (the gather adjoint of subgrids_to_grid).
+
+    Implemented as a vmapped dynamic_slice over a wrap-padded grid — a
+    windowed batched gather, matching the scatter side's formulation."""
     n = subgrid_size
-    grid_size = grid[0].shape[-1]
-    cy = coord_y.astype(jnp.int32)
-    cx = coord_x.astype(jnp.int32)
-    ys = (cy[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, :, None]) % grid_size
-    xs = (cx[:, None, None] + jnp.arange(n, dtype=jnp.int32)[None, None, :]) % grid_size
-    sub = tuple(jnp.moveaxis(g[:, ys, xs], 0, 1) for g in grid)  # [S, P, N, N]
+    g = grid[0].shape[-1]
+    cy = coord_y.astype(jnp.int32) % g
+    cx = coord_x.astype(jnp.int32) % g
+
+    def gather_one(gp, y, x):
+        return lax.dynamic_slice(
+            gp, (jnp.int32(0), y, x), (gp.shape[0], n, n)
+        )
+
+    out = []
+    for v in grid:
+        padded = jnp.pad(v, ((0, 0), (0, n), (0, n)), mode="wrap")
+        out.append(jax.vmap(gather_one, in_axes=(None, 0, 0))(padded, cy, cx))
+    sub = tuple(out)  # [S, P, N, N]
     if apply_fft:
         sub = fft2_pair(fftshift2_pair(sub), inverse=False)
         sub = fftshift2_pair(sub)

@@ -680,7 +680,8 @@ def _kernel_polstack(aidx, st1, st2,
     phx_re = phxr_s[...]
     phx_im = phxi_s[...]
 
-    # rhs [2N, 2V]: conj(Φx)ᵀ packed for the complex product
+    # rhs [2N, 2V]: conj(Φx)ᵀ packed for the complex product — built and
+    # bf16-split ONCE (the per-rank lhs varies, Φx does not)
     rhs = jnp.concatenate(
         [
             jnp.concatenate([phx_re, -phx_im], axis=1),
@@ -688,6 +689,10 @@ def _kernel_polstack(aidx, st1, st2,
         ],
         axis=0,
     )
+    rh = rhs.astype(jnp.bfloat16)
+    rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+    rha = jnp.concatenate([rh, rl], axis=0)
+    rhb = jnp.concatenate([rl, rh], axis=0)
 
     mu = mur_ref[0]                                 # [1, V]
     n_yx = n_ref[...]                               # [N, N]
@@ -708,25 +713,45 @@ def _kernel_polstack(aidx, st1, st2,
             ],
             axis=0,
         )
-        prod = _dot_mixed(
-            lhs, rhs, precisions[min(r, len(precisions) - 1)]
+        prod = _polstack_dot(
+            lhs, rha, rhb, rh, precisions[min(r, len(precisions) - 1)]
         )                                            # [4N, 2V]
-        # pol-batched stage 2: one [4N, V] elementwise pass at full
-        # sublane width, then per-pol sublane reduces
-        phy_rep_re = jnp.concatenate([phy_re] * P_POLS, axis=0)
-        phy_rep_im = jnp.concatenate([phy_im] * P_POLS, axis=0)
+        # stage 2 per pol: slice the pol block (no [4N, V] Φy replication
+        # copies), multiply by conj(Φy)ᵀ, sublane-reduce
         d_re = prod[:, 0:V]
         d_im = prod[:, V:2 * V]
-        sr = d_re * phy_rep_re + d_im * phy_rep_im   # · conj(Φy)ᵀ
-        si = d_im * phy_rep_re - d_re * phy_rep_im
         for p in range(P_POLS):
-            vr = jnp.sum(sr[p * N:(p + 1) * N], axis=0, keepdims=True)
-            vi = jnp.sum(si[p * N:(p + 1) * N], axis=0, keepdims=True)
+            dr = d_re[p * N:(p + 1) * N]
+            di = d_im[p * N:(p + 1) * N]
+            sr = dr * phy_re + di * phy_im           # · conj(Φy)ᵀ
+            si = di * phy_re - dr * phy_im
+            vr = jnp.sum(sr, axis=0, keepdims=True)
+            vi = jnp.sum(si, axis=0, keepdims=True)
             er, ei = kcmul(vr, vi, cr, ci)
             rows_re[p] = rows_re[p] + er
             rows_im[p] = rows_im[p] + ei
     out_re_ref[0] = jnp.concatenate(rows_re, axis=0)
     out_im_ref[0] = jnp.concatenate(rows_im, axis=0)
+
+
+def _polstack_dot(lhs_f32, rha, rhb, rh, mode):
+    """A·B dot for the pol-stacked kernels, RHS hoisted and pre-split.
+
+    rha/rhb: the "3x2k" K-packed [4N, 2V] bf16 operands ([rh;rl], [rl;rh])
+    built ONCE per subgrid (the per-rank lhs changes, the Φx rhs does not);
+    rh: the plain hi half for 'default'-precision ranks."""
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    lh = lhs_f32.astype(jnp.bfloat16)
+    if mode == "default":
+        return d(lh, rh)
+    ll = (lhs_f32 - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+    l2 = jnp.concatenate([lh, ll], axis=1)
+    return d(l2, rha) + d(l2, rhb)
 
 
 def _degridder_polstack(params, sobs, subgrids, w_rank, precisions, interpret,
@@ -889,6 +914,10 @@ def _kernel_polstack_batch(aidx, st1, st2,
             ],
             axis=0,
         )
+        rh = rhs.astype(jnp.bfloat16)
+        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        rha = jnp.concatenate([rh, rl], axis=0)
+        rhb = jnp.concatenate([rl, rh], axis=0)
         mu = mur_ref[b]
         rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
         rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
@@ -906,19 +935,19 @@ def _kernel_polstack_batch(aidx, st1, st2,
                 ],
                 axis=0,
             )
-            prod = _dot_mixed(
-                lhs, rhs, precisions[min(r, len(precisions) - 1)]
+            prod = _polstack_dot(
+                lhs, rha, rhb, rh, precisions[min(r, len(precisions) - 1)]
             )
-            # pol-batched stage 2 (see _kernel_polstack)
-            phy_rep_re = jnp.concatenate([phy_re] * P_POLS, axis=0)
-            phy_rep_im = jnp.concatenate([phy_im] * P_POLS, axis=0)
+            # stage 2 per pol (see _kernel_polstack)
             d_re = prod[:, 0:V]
             d_im = prod[:, V:2 * V]
-            sr = d_re * phy_rep_re + d_im * phy_rep_im
-            si = d_im * phy_rep_re - d_re * phy_rep_im
             for p in range(P_POLS):
-                vr = jnp.sum(sr[p * N:(p + 1) * N], axis=0, keepdims=True)
-                vi = jnp.sum(si[p * N:(p + 1) * N], axis=0, keepdims=True)
+                dr = d_re[p * N:(p + 1) * N]
+                di = d_im[p * N:(p + 1) * N]
+                sr = dr * phy_re + di * phy_im
+                si = di * phy_re - dr * phy_im
+                vr = jnp.sum(sr, axis=0, keepdims=True)
+                vi = jnp.sum(si, axis=0, keepdims=True)
                 er, ei = kcmul(vr, vi, cr, ci)
                 rows_re[p] = rows_re[p] + er
                 rows_im[p] = rows_im[p] + ei

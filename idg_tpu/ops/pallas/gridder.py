@@ -676,12 +676,16 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     The MXU operands are PRE-SPLIT into bf16 hi/lo scratches at write time:
     the recurrence stores the Φy planes as a packed [4N, V] (hi block, lo
     block) bf16 scratch, and W-forming stores its hi/lo parts directly — so
-    the "3x2" packed dot (see _dot_mixed) needs no separate convert /
-    concatenate passes over the [2NP, V] operands; each rank is two plain
-    bf16 dots plus register adds."""
+    the packed dots need no separate convert / concatenate passes over the
+    [2NP, V] operands.
+
+    The rank-r Taylor coefficient (iμ)^r/r! rides on the Φy (LHS) side:
+    W = Φx ⊛ vis is formed ONCE (rank 0) and reused by every rank, whose
+    LHS is the cheap [2N, V] product Φy ⊛ coef — this replaces the 24·N·V-op
+    per-rank W-forming (+ splits) with an 8·N·V-op LHS re-weighting."""
     at_refs = rest[:4 * batch]
     (out_re_ref, out_im_ref,
-     lhs2_s, phxr_s, phxi_s, rhsh_s, rhsl_s) = rest[4 * batch:]
+     lhs2_s, phyr_s, phyi_s, phxr_s, phxi_s, rhsh_s, rhsl_s) = rest[4 * batch:]
     NP = N * P_POLS
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
@@ -724,6 +728,10 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
             lhs2_s[N:2 * N, lo:lo + T] = yi_h
             lhs2_s[2 * N:3 * N, lo:lo + T] = yr_l
             lhs2_s[3 * N:4 * N, lo:lo + T] = yi_l
+            if w_rank > 1:
+                # f32 Φy kept for the rank ≥ 1 LHS re-weighting
+                phyr_s[:, lo:lo + T] = cy_re
+                phyi_s[:, lo:lo + T] = cy_im
             phxr_s[:, lo:lo + T] = cx_re
             phxi_s[:, lo:lo + T] = cx_im
             if c + 1 < C:
@@ -736,44 +744,55 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         vre = vre_ref[b]                            # [P, V]
         vim = vim_ref[b]
         outs = []
+
+        # rank 0: form W = Φx ⊛ vis once, pre-split hi/lo
+        for p in range(P_POLS):
+            w_re, w_im = kcmul(phx_re, phx_im, vre[p:p + 1], vim[p:p + 1])
+            wr_h, wr_l = _bf16_split(w_re)
+            wi_h, wi_l = _bf16_split(w_im)
+            rhsh_s[p * N:(p + 1) * N, :] = wr_h
+            rhsh_s[NP + p * N:NP + (p + 1) * N, :] = wi_h
+            rhsl_s[p * N:(p + 1) * N, :] = wr_l
+            rhsl_s[NP + p * N:NP + (p + 1) * N, :] = wi_l
+        mode0 = precisions[0]
+        if mode0 == "3x":
+            # classic 3-product split at M = 2N, from the pre-split
+            # scratches (no convert/concat passes)
+            lh = lhs2_s[0:2 * N, :]
+            ll = lhs2_s[2 * N:4 * N, :]
+            prod = dd(lh, rhsh_s[...]) + (
+                dd(lh, rhsl_s[...]) + dd(ll, rhsh_s[...])
+            )
+        else:
+            # "3x2": packed 2-pass full-accuracy dot (all four products)
+            pa = dd(lhs2_s[...], rhsh_s[...])
+            pb = dd(lhs2_s[...], rhsl_s[...])
+            prod = (pa[0:2 * N] + pa[2 * N:4 * N]) + (
+                pb[0:2 * N] + pb[2 * N:4 * N]
+            )
+        c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
+        c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
+        outs.append((c_re, c_im))
+
+        # ranks ≥ 1: (iμ)^r/r! rides on the Φy side; the W scratch is reused
         cr = jnp.ones_like(mu)
         ci = jnp.zeros_like(mu)
-        for r in range(w_rank):
+        for r in range(1, w_rank):
             mode = precisions[min(r, len(precisions) - 1)]
-            if r:
-                cr, ci = -ci * mu / r, cr * mu / r
-            for p in range(P_POLS):
-                if r == 0:
-                    # rank-0 coefficient is the identity
-                    tr, ti = vre[p:p + 1], vim[p:p + 1]
-                else:
-                    tr = vre[p:p + 1] * cr - vim[p:p + 1] * ci
-                    ti = vre[p:p + 1] * ci + vim[p:p + 1] * cr
-                w_re, w_im = kcmul(phx_re, phx_im, tr, ti)
-                wr_h, wr_l = _bf16_split(w_re)
-                wi_h, wi_l = _bf16_split(w_im)
-                rhsh_s[p * N:(p + 1) * N, :] = wr_h
-                rhsh_s[NP + p * N:NP + (p + 1) * N, :] = wi_h
-                if mode != "default":
-                    rhsl_s[p * N:(p + 1) * N, :] = wr_l
-                    rhsl_s[NP + p * N:NP + (p + 1) * N, :] = wi_l
+            cr, ci = -ci * mu / r, cr * mu / r
+            phy_re = phyr_s[...]
+            phy_im = phyi_s[...]
+            l1 = jnp.concatenate(
+                [phy_re * cr - phy_im * ci, phy_re * ci + phy_im * cr],
+                axis=0,
+            )                                       # [2N, V]
+            lh1 = l1.astype(jnp.bfloat16)
             if mode == "default":
-                # single-pass bf16 (hi parts only) for small corrections
-                prod = dd(lhs2_s[0:2 * N, :], rhsh_s[...])
-            elif mode == "3x":
-                # classic 3-product split at M = 2N, from the pre-split
-                # scratches (no convert/concat passes)
-                lh = lhs2_s[0:2 * N, :]
-                ll = lhs2_s[2 * N:4 * N, :]
-                prod = dd(lh, rhsh_s[...]) + (
-                    dd(lh, rhsl_s[...]) + dd(ll, rhsh_s[...])
-                )
+                prod = dd(lh1, rhsh_s[...])
             else:
-                # "3x2": packed 2-pass full-accuracy dot (all four products)
-                pa = dd(lhs2_s[...], rhsh_s[...])
-                pb = dd(lhs2_s[...], rhsl_s[...])
-                prod = (pa[0:2 * N] + pa[2 * N:4 * N]) + (
-                    pb[0:2 * N] + pb[2 * N:4 * N]
+                ll1 = (l1 - lh1.astype(jnp.float32)).astype(jnp.bfloat16)
+                prod = dd(lh1, rhsh_s[...]) + (
+                    dd(lh1, rhsl_s[...]) + dd(ll1, rhsh_s[...])
                 )
             c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
             c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
@@ -865,6 +884,8 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         ),
         scratch_shapes=[
             pltpu.VMEM((4 * N, V), jnp.bfloat16),            # Φy hi|lo packed
+            pltpu.VMEM((N, V), jnp.float32),                  # Φy re (f32)
+            pltpu.VMEM((N, V), jnp.float32),                  # Φy im (f32)
             pltpu.VMEM((N, V), jnp.float32),                  # Φx re
             pltpu.VMEM((N, V), jnp.float32),                  # Φx im
             pltpu.VMEM((2 * N * P_POLS, V), jnp.bfloat16),   # W hi
