@@ -61,16 +61,25 @@ def max_mu_n(params: IDGParams, obs: Observation) -> float:
     """Host-side upper bound on |μ·n| = |(w_off − w·k)·n|, the argument of
     the separable kernels' rank-w Taylor of e^{iμ·n} (ops/xla/separable.py).
 
-    Uses global extremes of w, k and coord_z — cheap (no S·T·C product) and
-    pessimistic in the safe direction."""
-    w = np.asarray(obs.uvw, np.float64)[..., 2].ravel()
+    PER-SUBGRID extremes: each subgrid's w plane (w_off from its coord_z)
+    is chosen to cancel its OWN w·k range, so a global w-vs-w_off bound
+    would be wildly pessimistic for w-plane-partitioned data (it forced a
+    needless rank-3 escalation on make_w_observation output). Still an
+    upper bound — k and w extremes within the subgrid are combined
+    worst-case."""
+    w = np.asarray(obs.uvw, np.float64)[..., 2].reshape(-1)
     k = np.asarray(obs.wavenumbers, np.float64)
-    z = np.asarray(obs.metadata.coord_z, np.float64)
+    md = obs.metadata
+    t = params.nr_timesteps_subgrid
+    idx = np.asarray(md.time_offset, np.int64)[:, None] + np.arange(t)
+    ws = w[idx]                                        # [S, T]
+    w_lo, w_hi = ws.min(axis=1), ws.max(axis=1)        # [S]
+    k_lo, k_hi = float(k.min()), float(k.max())
+    wk = np.stack([w_lo * k_lo, w_lo * k_hi, w_hi * k_lo, w_hi * k_hi])
+    wk_lo, wk_hi = wk.min(axis=0), wk.max(axis=0)      # [S]
+    z = np.asarray(md.coord_z, np.float64)
     w_off = 2.0 * np.pi * float(params.w_step) * (z + 0.5)
-    wk = np.array([
-        w.min() * k.min(), w.min() * k.max(), w.max() * k.min(), w.max() * k.max()
-    ])
-    mu_abs = max(abs(w_off.min() - wk.max()), abs(w_off.max() - wk.min()))
+    mu_abs = float(np.maximum(np.abs(w_off - wk_lo), np.abs(w_off - wk_hi)).max())
     # n_max over the subgrid (math.hpp:19-24 stable form), f64
     half = params.image_size / 2.0
     tmp = 2.0 * half * half  # l² + m² at the subgrid corner
