@@ -258,11 +258,19 @@ def cmd_grid(args) -> int:
         sub = jax.device_put(split_complex(initialize_subgrids(
             params.nr_subgrids, params.nr_correlations, n
         )))
-        fn = jax.jit(
-            lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
-        )
+        if args.method == "pallas":
+            from .ops.grid import subgrids_to_grid_pallas
+
+            fn = jax.jit(
+                lambda s, x, y: subgrids_to_grid_pallas(s, x, y, g, apply_fft)
+            )
+            name = "grid_add_pallas"
+        else:
+            fn = jax.jit(
+                lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
+            )
+            name = "grid_add"
         fargs = (sub, cx, cy)
-        name = "grid_add"
     else:
         import numpy as np
 
@@ -412,6 +420,9 @@ def main(argv=None) -> int:
                         default="to-grid")
     p_grid.add_argument("--no-fft", action="store_true",
                         help="scatter/gather only (skip the subgrid DFT)")
+    p_grid.add_argument("--method", choices=["xla", "pallas"], default="xla",
+                        help="to-grid accumulation: XLA windowed scatter or "
+                             "the Pallas block-bucketed kernel")
     p_grid.set_defaults(fn=cmd_grid)
 
     sub.add_parser("list", help="list registered kernels").set_defaults(fn=cmd_list)

@@ -150,3 +150,147 @@ def grid_to_subgrids(
         sub = fft2_pair(fftshift2_pair(sub), inverse=False)
         sub = fftshift2_pair(sub)
     return sub
+
+
+# --------------------------------------------------------------------------
+# Pallas grid-add: block-bucketed accumulation (no XLA scatter)
+# --------------------------------------------------------------------------
+
+def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int):
+    """Decompose tiles into block-aligned quadrant pieces (XLA-side staging).
+
+    Grid blocked N×N. A tile at (cy, cx) intersects up to 4 blocks; the
+    piece for quadrant (qy, qx) is the tile rolled by its in-block offset
+    and masked to that quadrant — so every piece drops whole into ONE
+    N-aligned block at its final in-block position (wrap handled by the
+    mod on block ids). Returns (pieces_re, pieces_im, block_ids, first)
+    sorted by block id with one zero piece per block prepended (zeroes the
+    full grid on each block's first visit).
+    """
+    re, im = sub
+    s, p, n, _ = re.shape
+    g = grid_size
+    nb = g // n
+    assert g % n == 0, "grid_size must be a multiple of subgrid_size"
+    cy = coord_y.astype(jnp.int32) % g
+    cx = coord_x.astype(jnp.int32) % g
+    by, bx = cy // n, cx // n
+    oy, ox = cy % n, cx % n
+
+    # roll each tile by its in-block offset: rolled[(oy+y)%n, (ox+x)%n] = t[y,x]
+    rows = (jnp.arange(n, dtype=jnp.int32)[None, :] - oy[:, None]) % n  # [S, n]
+    cols = (jnp.arange(n, dtype=jnp.int32)[None, :] - ox[:, None]) % n
+    rolled_re = re[
+        jnp.arange(s)[:, None, None, None],
+        jnp.arange(p)[None, :, None, None],
+        rows[:, None, :, None],
+        cols[:, None, None, :],
+    ]
+    rolled_im = im[
+        jnp.arange(s)[:, None, None, None],
+        jnp.arange(p)[None, :, None, None],
+        rows[:, None, :, None],
+        cols[:, None, None, :],
+    ]
+    # quadrant masks on the rolled positions
+    pos = jnp.arange(n, dtype=jnp.int32)
+    row_hi = pos[None, :] >= oy[:, None]          # [S, n] True → qy = 0
+    col_hi = pos[None, :] >= ox[:, None]
+    pieces_re, pieces_im, ids = [], [], []
+    for qy in (0, 1):
+        rmask = row_hi if qy == 0 else ~row_hi
+        for qx in (0, 1):
+            cmask = col_hi if qx == 0 else ~col_hi
+            m = (rmask[:, None, :, None] & cmask[:, None, None, :])
+            pieces_re.append(jnp.where(m, rolled_re, 0.0))
+            pieces_im.append(jnp.where(m, rolled_im, 0.0))
+            ids.append(((by + qy) % nb) * nb + ((bx + qx) % nb))
+    pieces_re = jnp.concatenate(pieces_re)         # [4S, P, n, n]
+    pieces_im = jnp.concatenate(pieces_im)
+    ids = jnp.concatenate(ids)                     # [4S]
+
+    # one zero piece per block, placed FIRST so the stable sort makes it
+    # each block's first visit (initializes the output block)
+    zero = jnp.zeros((nb * nb, p, n, n), re.dtype)
+    all_re = jnp.concatenate([zero, pieces_re])
+    all_im = jnp.concatenate([zero, pieces_im])
+    all_ids = jnp.concatenate([jnp.arange(nb * nb, dtype=jnp.int32), ids])
+    order = jnp.argsort(all_ids, stable=True)
+    all_ids = all_ids[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (all_ids[1:] != all_ids[:-1]).astype(jnp.int32)]
+    )
+    return all_re[order], all_im[order], all_ids, first
+
+
+def subgrids_to_grid_pallas(
+    sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
+    interpret=None,
+) -> Pair:
+    """TPU-native grid-add: quadrant-piece staging + a Pallas kernel that
+    accumulates pieces into N-aligned grid blocks selected by
+    scalar-prefetched block ids. Pieces are SORTED by block id, so Mosaic's
+    output-block revisiting keeps each block resident in VMEM across its
+    consecutive pieces — no XLA scatter, no read-modify-write races (grid
+    steps are sequential on the core)."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas.common import use_interpret
+
+    if apply_fft:
+        sub = fft2_pair(fftshift2_pair(sub), inverse=True)
+        sub = fftshift2_pair(sub)
+    s, p, n, _ = sub[0].shape
+    g = grid_size
+    nb = g // n
+    pre, pim, ids, first = _quadrant_pieces(sub, coord_y, coord_x, g)
+    total = pre.shape[0]
+    if interpret is None:
+        interpret = use_interpret()
+
+    def kernel(ids_ref, first_ref, pre_ref, pim_ref, outr_ref, outi_ref):
+        i = pl.program_id(0)
+
+        @pl.when(first_ref[i] != 0)
+        def _init():
+            outr_ref[...] = pre_ref[0]
+            outi_ref[...] = pim_ref[0]
+
+        @pl.when(first_ref[i] == 0)
+        def _acc():
+            outr_ref[...] += pre_ref[0]
+            outi_ref[...] += pim_ref[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(total,),
+        in_specs=[
+            pl.BlockSpec((1, p, n, n), lambda i, ids, first: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, n, n), lambda i, ids, first: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (p, n, n),
+                lambda i, ids, first: (0, ids[i] // nb, ids[i] % nb),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (p, n, n),
+                lambda i, ids, first: (0, ids[i] // nb, ids[i] % nb),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((p, g, g), jnp.float32),
+        jax.ShapeDtypeStruct((p, g, g), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
+    )(ids, first, pre, pim)

@@ -17,8 +17,13 @@ Rungs mirror the gridder family (SURVEY.md §2.4 degridder ladder):
   pallas_v5  v4 + channel-recurrence phasor generation (O(N·T) sincos,
              c-major lanes; uniform channel spacing assumed).
   pallas_v6  pol-stacked x-first adjoint: one full-M [4N,2N]×[2N,2V] MXU
-             dot per rank with a 4× smaller intermediate.
+             dot per rank with a 4× smaller intermediate. The dot contracts
+             K = 2N = 64 — half the MXU's 128-deep contraction — so the
+             bf16 hi/lo splits are K-PACKED ("3x2k", gridder._dot_mixed):
+             2 passes instead of bf16_3x's 3, at full 4-product accuracy,
+             with the Φx RHS split hoisted out of the rank loop.
   pallas_v7  v6 + multi-subgrid grid steps (fixed-cost amortization).
+  pallas_v8  w-free specialization of v7: rank 1, exact for w ≡ 0 data.
 """
 
 from __future__ import annotations

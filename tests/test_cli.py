@@ -137,3 +137,10 @@ def test_cli_sweep_stations_suffix(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr
     assert list(tmp_path.glob("*gridder_xla_v2-tpu.csv"))
+
+
+def test_cli_grid_stage_pallas(tmp_path):
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["grid", "--method", "pallas"], extra_env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*grid_add_pallas-tpu.csv"))

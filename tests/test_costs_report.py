@@ -68,3 +68,49 @@ def test_report_csv(tmp_path):
 def test_report_csv_missing_device(capsys, tmp_path):
     assert report_csv("g", "", "-tpu.csv", 0.5, output_path=str(tmp_path)) is None
     assert "not provided" in capsys.readouterr().out
+
+
+def test_grid_costs_positive():
+    from idg_tpu.config import IDGParams
+    from idg_tpu.utils.costs import bytes_grid, flops_grid, grid_costs
+
+    p = IDGParams(nr_stations=3)
+    gflops, gbytes, mvis = grid_costs(p)
+    assert gflops > 0 and gbytes > 0 and mvis == 0.0
+    assert flops_grid(p.nr_subgrids, p.subgrid_size, 4) == int(
+        p.nr_subgrids * (2 * 4 * 8 * p.subgrid_size ** 3
+                         + p.subgrid_size ** 2 * 6
+                         + p.subgrid_size ** 2 * 4 * 2)
+    )
+    assert bytes_grid(1, 16, 4, 64) == int(
+        3 * 16 * 16 * 4 * 8 + 2 * 64 * 64 * 4 * 8
+    )
+
+
+def test_timing_result_variance():
+    from idg_tpu.utils.timing import TimingResult
+
+    t = TimingResult(
+        seconds=0.9e-3, iterations=10, warmup_runs=1,
+        all_seconds=(0.010, 0.012, 0.011), sync_overhead=0.001,
+    )
+    assert abs(t.seconds_mean - ((0.011 + 0.012 + 0.010) / 3 - 0.001) / 10) < 1e-12
+    assert t.seconds_std > 0
+    single = TimingResult(
+        seconds=1e-3, iterations=5, warmup_runs=1,
+        all_seconds=(0.006,), sync_overhead=0.001,
+    )
+    assert single.seconds_std == 0.0
+
+
+def test_report_csv_stddev_row(tmp_path):
+    from idg_tpu.utils.report import report_csv
+
+    path = report_csv(
+        "unit_test", "dev", "-tpu.csv", 0.01, gflops=1.0,
+        output_path=str(tmp_path), seconds_std=0.0001,
+    )
+    metrics = dict(
+        line.split(",") for line in open(path).read().strip().splitlines()
+    )
+    assert "ms_stddev" in metrics and float(metrics["ms_stddev"]) == 0.1
