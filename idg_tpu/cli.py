@@ -29,7 +29,12 @@ CSV_EXT = "-tpu.csv"
 def _honor_platform_env() -> None:
     """Make JAX_PLATFORMS effective even when a site hook pre-registers a
     TPU platform (this machine's sitecustomize does): the env var alone can
-    be overridden before our imports run, so force it via jax.config too."""
+    be overridden before our imports run, so force it via jax.config too.
+    Also enables the persistent compilation cache (same env-vs-config
+    issue — see config.setup_compilation_cache)."""
+    from .config import setup_compilation_cache
+
+    setup_compilation_cache()
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         import jax

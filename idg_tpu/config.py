@@ -22,6 +22,25 @@ START_FREQUENCY = 150.0e6
 FREQUENCY_INCREMENT = 0.7e6
 
 
+def setup_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    On this jax version the JAX_COMPILATION_CACHE_DIR env var alone does
+    NOT take effect (jax.config shows None); the config key must be set
+    explicitly. First compiles through the tunneled TPU platform take
+    minutes, so every entry point calls this."""
+    import jax
+
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def round_to_pow_of_2(x: int) -> int:
     """Round down to the nearest power of two (common.cpp:3-8 semantics)."""
     if x < 1:
