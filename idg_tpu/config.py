@@ -31,6 +31,8 @@ def setup_compilation_cache(path: str | None = None) -> None:
     minutes, so every entry point calls this."""
     import jax
 
+    if os.environ.get("IDG_NO_COMPILE_CACHE"):
+        return
     path = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg"
     )

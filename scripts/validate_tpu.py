@@ -26,7 +26,7 @@ _cache()
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_section(params, obs, subgrids, lines):
+def run_section(params, obs, subgrids, lines, only=None):
     from idg_tpu.models.reference import degridder_reference, gridder_reference
     from idg_tpu.ops.api import run_degridder, run_gridder
     from idg_tpu.ops.registry import list_kernels
@@ -35,6 +35,8 @@ def run_section(params, obs, subgrids, lines):
     golden_g = gridder_reference(params, obs)
     golden_d = degridder_reference(params, obs, subgrids)
     for e in list_kernels():
+        if only is not None and e.version not in only:
+            continue
         try:
             if e.workload == "gridder":
                 got = run_gridder(params, obs, version=e.version)
@@ -55,7 +57,10 @@ def run_section(params, obs, subgrids, lines):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="res/VALIDATION.md")
+    ap.add_argument("--versions", default=None,
+                    help="comma-separated version filter (default: all)")
     args = ap.parse_args()
+    only = set(args.versions.split(",")) if args.versions else None
 
     import jax
 
@@ -84,7 +89,7 @@ def main() -> int:
         "| workload | version | result | error |",
         "|---|---|---|---|",
     ]
-    run_section(params, obs, subgrids, lines)
+    run_section(params, obs, subgrids, lines, only)
 
     wparams, wobs, wsub = make_w_observation(params, include_subgrids=True)
     lines += [
@@ -99,7 +104,7 @@ def main() -> int:
         "| workload | version | result | error |",
         "|---|---|---|---|",
     ]
-    run_section(wparams, wobs, wsub, lines)
+    run_section(wparams, wobs, wsub, lines, only)
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
