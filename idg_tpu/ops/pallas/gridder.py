@@ -16,17 +16,18 @@ SURVEY.md §2.4):
              becomes one packed [2N, V]×[V, 2·N·P] MXU matmul per rank with
              only O(V·N) sincos. Fuses W-forming in VMEM (the XLA version
              spills ~100 GB of W traffic to HBM per pass).
-  pallas_v4  v3 + mixed-precision MXU passes: the rank-0 term runs the
-             packed 2-pass "3x2" bf16 split (fills the 128-row MXU tile the
-             M=64 dot wastes, at full 4-product accuracy); the rank-1
+  pallas_v4  v3 + mixed-precision MXU passes: the rank-0 term runs bf16_3x
+             (hi/lo mantissa split, 3 single-bf16-pass dots); the rank-1
              correction (≤2.5e-3 of the signal) runs single-pass bf16.
   pallas_v5  v4 + channel-recurrence phasor GENERATION: sincos only for the
              channel-0 Φ planes and the per-channel delta (O(N·T) instead of
              O(N·V) transcendentals), c-major lanes, VMEM scratch planes.
              Assumes uniform channel spacing, like GPU v8.
   pallas_v6  v5 + multi-subgrid grid steps: 4 subgrids per step amortize
-             per-step fixed costs; W parts write straight into the RHS
-             VMEM scratch.
+             per-step fixed costs; W parts write straight into the RHS VMEM
+             scratch, formed ONCE — the rank-r Taylor coefficient rides on
+             the cheap Φy (LHS) side instead.
+  pallas_v7  w-free specialization of v6: rank 1, exact for w ≡ 0 data.
 """
 
 from __future__ import annotations
@@ -97,12 +98,12 @@ def _dot_mixed(lhs, rhs, mode: str, transpose_rhs: bool = False, dims=None):
 
 
 def gridder_precisions(w_rank: int):
-    """Gridder MXU pass policy: packed 2-pass "3x2" for the rank-0 signal
-    (the gridder's M = 64 dot qualifies — see _dot_mixed); corrections run
-    single-pass bf16 at the default rank, "3x2" throughout for
-    guard-escalated ranks (larger correction magnitudes, cf.
-    common.rank_precisions)."""
-    return ("3x2", "default") if w_rank <= 2 else ("3x2",) * w_rank
+    """Gridder MXU pass policy: bf16_3x for the rank-0 signal (A/B-measured
+    fastest — the packed M=128 "3x2" variant loses because MXU cost scales
+    with M rows streamed); corrections run single-pass bf16 at the default
+    rank, full splits for guard-escalated ranks (larger correction
+    magnitudes, cf. common.rank_precisions)."""
+    return ("3x", "default") if w_rank <= 2 else ("3x",) * w_rank
 
 
 def _epilogue(pix, sph, a1, a2):
@@ -656,13 +657,6 @@ def gridder_pallas_v5_staged(params, stg, interpret=None, w_rank: int = 2):
 # pallas_v6: v5 with multi-subgrid grid steps (fixed-cost amortization)
 # --------------------------------------------------------------------------
 
-def _bf16_split(x):
-    """(hi, lo) bf16 mantissa split of an f32 value (hi + lo ≈ x)."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
 def _kernel_sep_recur_batch(aidx, st1, st2,
                             uvwr_ref, mur_ref, vre_ref, vim_ref, k_ref,
                             poxc_ref, poyc_ref, mcol_ref, npack_ref, sph_ref,
@@ -673,32 +667,25 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     Each subgrid's Jones terms arrive through its own scalar-prefetch-
     indexed aterm blocks (4·batch input specs).
 
-    The MXU operands are PRE-SPLIT into bf16 hi/lo scratches at write time:
-    the recurrence stores the Φy planes as a packed [4N, V] (hi block, lo
-    block) bf16 scratch, and W-forming stores its hi/lo parts directly — so
-    the packed dots need no separate convert / concatenate passes over the
-    [2NP, V] operands.
-
     The rank-r Taylor coefficient (iμ)^r/r! rides on the Φy (LHS) side:
     W = Φx ⊛ vis is formed ONCE (rank 0) and reused by every rank, whose
     LHS is the cheap [2N, V] product Φy ⊛ coef — this replaces the 24·N·V-op
-    per-rank W-forming (+ splits) with an 8·N·V-op LHS re-weighting."""
+    per-rank W-forming with an 8·N·V-op LHS re-weighting.
+
+    Scratches stay f32 and the bf16 hi/lo splits happen inside _dot_mixed:
+    a round-2 A/B showed pre-split bf16 scratches REGRESS (sub-f32-tile
+    bf16 stores force packing relayouts per store) and that the packed
+    M=128 dot loses to 3 passes at M=64 (MXU cost scales with M rows
+    streamed, not occupied tiles)."""
     at_refs = rest[:4 * batch]
     (out_re_ref, out_im_ref,
-     lhs2_s, phyr_s, phyi_s, phxr_s, phxi_s, rhsh_s, rhsl_s) = rest[4 * batch:]
+     lhs_s, phxr_s, phxi_s, rhs_s) = rest[4 * batch:]
     NP = N * P_POLS
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
     m_col = mcol_ref[...]                           # [N, 1]
     npack = npack_ref[...]
     sph = sph_ref[...]
-
-    def dd(a, bmat):
-        # plain single-pass bf16 dot, A·Bᵀ orientation
-        return jax.lax.dot_general(
-            a, bmat, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     for b in range(batch):
         uvw = uvwr_ref[b]                           # [3, T]
@@ -722,21 +709,14 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                 cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
                 cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
             lo = c * T
-            yr_h, yr_l = _bf16_split(cy_re)
-            yi_h, yi_l = _bf16_split(cy_im)
-            lhs2_s[0:N, lo:lo + T] = yr_h
-            lhs2_s[N:2 * N, lo:lo + T] = yi_h
-            lhs2_s[2 * N:3 * N, lo:lo + T] = yr_l
-            lhs2_s[3 * N:4 * N, lo:lo + T] = yi_l
-            if w_rank > 1:
-                # f32 Φy kept for the rank ≥ 1 LHS re-weighting
-                phyr_s[:, lo:lo + T] = cy_re
-                phyi_s[:, lo:lo + T] = cy_im
+            lhs_s[0:N, lo:lo + T] = cy_re
+            lhs_s[N:2 * N, lo:lo + T] = cy_im
             phxr_s[:, lo:lo + T] = cx_re
             phxi_s[:, lo:lo + T] = cx_im
             if c + 1 < C:
                 cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
                 cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+        lhs = lhs_s[...]                            # [2N, V] (Φy re; im)
         phx_re = phxr_s[...]
         phx_im = phxi_s[...]
 
@@ -745,31 +725,12 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         vim = vim_ref[b]
         outs = []
 
-        # rank 0: form W = Φx ⊛ vis once, pre-split hi/lo
+        # rank 0: form W = Φx ⊛ vis once, straight into the RHS scratch
         for p in range(P_POLS):
             w_re, w_im = kcmul(phx_re, phx_im, vre[p:p + 1], vim[p:p + 1])
-            wr_h, wr_l = _bf16_split(w_re)
-            wi_h, wi_l = _bf16_split(w_im)
-            rhsh_s[p * N:(p + 1) * N, :] = wr_h
-            rhsh_s[NP + p * N:NP + (p + 1) * N, :] = wi_h
-            rhsl_s[p * N:(p + 1) * N, :] = wr_l
-            rhsl_s[NP + p * N:NP + (p + 1) * N, :] = wi_l
-        mode0 = precisions[0]
-        if mode0 == "3x":
-            # classic 3-product split at M = 2N, from the pre-split
-            # scratches (no convert/concat passes)
-            lh = lhs2_s[0:2 * N, :]
-            ll = lhs2_s[2 * N:4 * N, :]
-            prod = dd(lh, rhsh_s[...]) + (
-                dd(lh, rhsl_s[...]) + dd(ll, rhsh_s[...])
-            )
-        else:
-            # "3x2": packed 2-pass full-accuracy dot (all four products)
-            pa = dd(lhs2_s[...], rhsh_s[...])
-            pb = dd(lhs2_s[...], rhsl_s[...])
-            prod = (pa[0:2 * N] + pa[2 * N:4 * N]) + (
-                pb[0:2 * N] + pb[2 * N:4 * N]
-            )
+            rhs_s[p * N:(p + 1) * N, :] = w_re
+            rhs_s[NP + p * N:NP + (p + 1) * N, :] = w_im
+        prod = _dot_mixed(lhs, rhs_s[...], precisions[0], transpose_rhs=True)
         c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
         c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
         outs.append((c_re, c_im))
@@ -780,20 +741,12 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         for r in range(1, w_rank):
             mode = precisions[min(r, len(precisions) - 1)]
             cr, ci = -ci * mu / r, cr * mu / r
-            phy_re = phyr_s[...]
-            phy_im = phyi_s[...]
             l1 = jnp.concatenate(
-                [phy_re * cr - phy_im * ci, phy_re * ci + phy_im * cr],
+                [lhs[0:N] * cr - lhs[N:2 * N] * ci,
+                 lhs[0:N] * ci + lhs[N:2 * N] * cr],
                 axis=0,
             )                                       # [2N, V]
-            lh1 = l1.astype(jnp.bfloat16)
-            if mode == "default":
-                prod = dd(lh1, rhsh_s[...])
-            else:
-                ll1 = (l1 - lh1.astype(jnp.float32)).astype(jnp.bfloat16)
-                prod = dd(lh1, rhsh_s[...]) + (
-                    dd(lh1, rhsl_s[...]) + dd(ll1, rhsh_s[...])
-                )
+            prod = _dot_mixed(l1, rhs_s[...], mode, transpose_rhs=True)
             c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
             c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
             outs.append((c_re, c_im))
@@ -883,13 +836,10 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((4 * N, V), jnp.bfloat16),            # Φy hi|lo packed
-            pltpu.VMEM((N, V), jnp.float32),                  # Φy re (f32)
-            pltpu.VMEM((N, V), jnp.float32),                  # Φy im (f32)
+            pltpu.VMEM((2 * N, V), jnp.float32),              # Φy [re; im]
             pltpu.VMEM((N, V), jnp.float32),                  # Φx re
             pltpu.VMEM((N, V), jnp.float32),                  # Φx im
-            pltpu.VMEM((2 * N * P_POLS, V), jnp.bfloat16),   # W hi
-            pltpu.VMEM((2 * N * P_POLS, V), jnp.bfloat16),   # W lo
+            pltpu.VMEM((2 * N * P_POLS, V), jnp.float32),    # W
         ],
     )
     out_shape = (
@@ -947,12 +897,12 @@ def gridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
     (error ≈ |μ·n| ≲ 1e-3 rad per visibility at reference scales). The
     general-w kernels are v3–v6."""
     return _gridder_sep_recur_batch_run(
-        params, stage(params, sobs, canonical), 1, ("3x2",), interpret, batch
+        params, stage(params, sobs, canonical), 1, ("3x",), interpret, batch
     )
 
 
 def gridder_pallas_v7_staged(params, stg, interpret=None, batch: int = 4,
                              w_rank: int = 1, precisions=None):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, precisions or ("3x2",), interpret, batch
+        params, stg, w_rank, precisions or ("3x",), interpret, batch
     )
