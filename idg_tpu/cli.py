@@ -50,13 +50,20 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
               name_suffix: str = "", w_obs: bool = False) -> float:
     """Performance mode (p_run_gridder_ semantics, app/CUDA/util.cpp:172-249).
 
-    Returns the mean seconds per launch.
+    Returns the min-of-windows seconds per launch (see utils/timing.py:
+    NR_WINDOWS timed windows; min is the headline, mean/std in the CSV).
+
+    The version/w_rank are resolved through the API guards here, ONCE, so
+    the report/CSV name always reflects the kernel actually timed: if the
+    guards substitute a fallback (recurrence on non-uniform channels,
+    fixed-rank rung on w!=0 data) the name carries the resolved version
+    plus a ``_fb`` marker instead of silently mislabeling the result.
     """
     import jax
 
     from .config import HarnessConfig, IDGParams
     from .data import initialize_subgrids, make_perf_observation
-    from .ops.api import staged_runner
+    from .ops.api import _resolve, staged_runner
     from .utils.costs import workload_costs
     from .utils.printing import print_device_info, print_parameters
     from .utils.report import device_name, report, report_csv
@@ -83,6 +90,11 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
             params.nr_subgrids, params.nr_correlations, params.subgrid_size
         )
 
+    # Resolve once, host-side, with the global observation in hand — this
+    # also guards the mesh path, whose sharded_* builders are guard-free
+    # benchmark internals (parallel/sharded.py).
+    rversion, rw_rank = _resolve(workload, version, params, obs, w_rank)
+
     if mesh_size:
         from .parallel import make_mesh
         from .parallel.sharded import (
@@ -95,19 +107,20 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
         mesh = make_mesh(mesh_size)
         sharded_sobs, _ = shard_observation(params, split_observation(obs), mesh)
         if workload == "gridder":
-            fn = sharded_gridder(params, mesh, version)
+            fn = sharded_gridder(params, mesh, rversion, w_rank=rw_rank)
             args = (sharded_sobs,)
         else:
-            fn = sharded_degridder(params, mesh, version)
+            fn = sharded_degridder(params, mesh, rversion, w_rank=rw_rank)
             args = (sharded_sobs, jax.device_put(split_complex(subgrids)))
     else:
         fn, args = staged_runner(
-            workload, version, params, obs, subgrids, w_rank=w_rank
+            workload, rversion, params, obs, subgrids, w_rank=rw_rank
         )
 
     timing = time_kernel(fn, *args, harness=harness)
     gflops, gbytes, mvis = workload_costs(params)
-    name = f"{workload}_{version}{name_suffix}"
+    fb = "_fb" if rversion != version else ""
+    name = f"{workload}_{rversion}{fb}{name_suffix}"
     dev = device_name()
     from .utils.roofline import roofline_fraction
 
@@ -354,10 +367,17 @@ def cmd_scaling(args) -> int:
         sub_pair = split_complex(initialize_subgrids(
             params.nr_subgrids, params.nr_correlations, params.subgrid_size
         ))
+    # Apply the API correctness guards here (the sharded builders are
+    # guard-free internals — parallel/sharded.py module docstring).
+    from .ops.api import _resolve
+
+    kernel_workload = "gridder" if args.workload == "pipeline" else args.workload
+    version, w_rank = _resolve(kernel_workload, args.version, params, obs, None)
     _, _, mvis = workload_costs(params)
     sizes = [int(s) for s in args.mesh_sizes.split(",")]
     base = None
-    print(f"workload={args.workload} version={args.version}")
+    print(f"workload={args.workload} version={version}"
+          + (f" (resolved from {args.version})" if version != args.version else ""))
     print(f"{'devices':>8s} {'ms':>10s} {'MVis/s':>12s} {'efficiency':>11s}")
     for n_dev in sizes:
         if n_dev > len(jax.devices()):
@@ -366,14 +386,15 @@ def cmd_scaling(args) -> int:
         mesh = make_mesh(n_dev)
         sharded_sobs, _ = distribute_observation(params, sobs, mesh)
         if args.workload == "gridder":
-            fn = sharded_gridder(params, mesh, args.version)
+            fn = sharded_gridder(params, mesh, version, w_rank=w_rank)
             fargs = (sharded_sobs,)
         elif args.workload == "degridder":
-            fn = sharded_degridder(params, mesh, args.version)
+            fn = sharded_degridder(params, mesh, version, w_rank=w_rank)
             fargs = (sharded_sobs, jax.device_put(sub_pair))
         else:  # pipeline: gridder + FFT + grid reduction collective
             fn = sharded_gridder_to_grid(
-                params, mesh, args.version, grid_sharded=args.grid_sharded
+                params, mesh, version, grid_sharded=args.grid_sharded,
+                w_rank=w_rank,
             )
             fargs = (sharded_sobs,)
         timing = time_kernel(fn, *fargs, harness=harness)

@@ -136,14 +136,27 @@ def _resolve(workload: str, version: str, params: IDGParams,
     )
     need = required_w_rank(params, obs)
     if w_rank is not None:
-        if need is not None and w_rank < need and takes_rank:
-            warnings.warn(
-                f"w_rank={w_rank} override is below the required rank {need} "
-                f"for this observation's w range (|mu*n| bound exceeds "
-                f"{W_TAYLOR_TOL:g}); results may miss the 1e-5 gate",
-                stacklevel=3,
-            )
-        return version, (w_rank if takes_rank else None)
+        if takes_rank:
+            if need is not None and w_rank < need:
+                warnings.warn(
+                    f"w_rank={w_rank} override is below the required rank "
+                    f"{need} for this observation's w range (|mu*n| bound "
+                    f"exceeds {W_TAYLOR_TOL:g}); results may miss the 1e-5 "
+                    "gate",
+                    stacklevel=3,
+                )
+            return version, w_rank
+        # Fixed-rank rungs take no w_rank parameter: the override cannot be
+        # applied — say so, then fall through to the fixed_w_rank-vs-need
+        # guard below so w!=0 data still triggers the fallback (previously
+        # this path skipped the guard and could silently miss the gate).
+        warnings.warn(
+            f"{workload} {version} has a fixed w-term rank "
+            f"({entry.fixed_w_rank}); the w_rank={w_rank} override is "
+            "ignored",
+            stacklevel=3,
+        )
+        w_rank = None
     if takes_rank:
         if need is None:
             raise ValueError(

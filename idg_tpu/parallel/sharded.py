@@ -6,6 +6,12 @@ axis. Every per-subgrid array (uvw, visibilities, metadata, subgrids) splits
 on axis 0; wavenumbers/spheroidal/aterms replicate. The master-grid
 accumulation — absent from the reference — is a local scatter-add followed by
 an XLA `psum` over ICI (replicated grid) or `psum_scatter` (row-sharded grid).
+
+Guard contract: the builders here are benchmark internals and do NOT apply
+the ops.api._resolve correctness guards themselves (resolution needs the
+global host-side observation, which the builders never see). Callers that
+accept user-chosen versions (cli._perf_one --mesh, cli.cmd_scaling) resolve
+(version, w_rank) through ops.api._resolve first and pass the result down.
 """
 
 from __future__ import annotations
@@ -100,10 +106,22 @@ def shard_observation(params: IDGParams, sobs: SplitObservation, mesh: Mesh):
     return jax.device_put(padded, shardings), s_pad
 
 
-def sharded_gridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
+def _kernel_fn(workload: str, version: str, w_rank: int | None):
+    """Kernel fn with a resolved w_rank bound (when the kernel accepts it)."""
+    fn = get_kernel(workload, version).fn
+    if w_rank is not None:
+        from ..ops.api import _accepts
+
+        if _accepts(workload, version, "w_rank"):
+            fn = partial(fn, w_rank=w_rank)
+    return fn
+
+
+def sharded_gridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2",
+                    w_rank: int | None = None):
     """jitted fn(sobs_sharded) -> (re, im) subgrids, sharded on axis 0."""
     axis = tuple(mesh.axis_names)
-    kernel = get_kernel("gridder", version).fn
+    kernel = _kernel_fn("gridder", version, w_rank)
     specs = _obs_specs(axis)
 
     @partial(
@@ -116,10 +134,11 @@ def sharded_gridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
     return jax.jit(local)
 
 
-def sharded_degridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2"):
+def sharded_degridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2",
+                      w_rank: int | None = None):
     """jitted fn(sobs_sharded, sub_pair) -> (re, im) visibilities."""
     axis = tuple(mesh.axis_names)
-    kernel = get_kernel("degridder", version).fn
+    kernel = _kernel_fn("degridder", version, w_rank)
     specs = _obs_specs(axis)
 
     @partial(
@@ -139,6 +158,7 @@ def sharded_gridder_to_grid(
     version: str = "xla_v2",
     apply_fft: bool = True,
     grid_sharded: bool = False,
+    w_rank: int | None = None,
 ):
     """jitted fn(sobs_sharded) -> [P, G, G] grid pair.
 
@@ -153,7 +173,7 @@ def sharded_gridder_to_grid(
     axis = tuple(mesh.axis_names)
     inner = axis[-1]
     n_inner = mesh.shape[inner]
-    kernel = get_kernel("gridder", version).fn
+    kernel = _kernel_fn("gridder", version, w_rank)
     specs = _obs_specs(axis)
     g = params.grid_size
     if grid_sharded:

@@ -78,6 +78,7 @@ def report_csv(
         return None
     path = output_path if output_path is not None else get_env_var("OUTPUT_PATH", ".")
     print(f"Saving output in {path}")
+    os.makedirs(path, exist_ok=True)
     device_name = re.sub(r"[/ ]", "-", device_name)
     file_path = os.path.join(path, f"{device_name}-{name}{file_extension}")
     print(file_path)

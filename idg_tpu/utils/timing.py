@@ -63,9 +63,14 @@ def time_kernel(
     harness: Optional[HarnessConfig] = None,
     profile_dir: Optional[str] = None,
 ) -> TimingResult:
-    """Warmup + timed launch window (p_run_kernel semantics,
+    """Warmup + timed launch windows (p_run_kernel semantics,
     app/CUDA/util.cpp:81-128). `fn` must be a jittable callable returning
-    device arrays; the mean wall time per launch is returned."""
+    device arrays. Returns the MIN over NR_WINDOWS calibrated windows as
+    the headline per-launch seconds (robust to tunnel jitter); the window
+    mean/σ are available via seconds_mean/seconds_std and land in the CSVs
+    as ms_stddev. Methodology note: round-1 CSVs used the single-window
+    mean — round-2+ min-of-windows numbers are slightly lower on noisy
+    runs by construction."""
     cfg = harness or HarnessConfig.from_env()
 
     # Compile (and constant transfers) excluded from timing.

@@ -142,6 +142,32 @@ def test_w_free_rung_falls_back_on_nonzero_w(small_params, small_obs):
     assert check_error(got, golden, verbose=False).passed
 
 
+def test_w_rank_override_on_fixed_rank_rung_warns_and_guards(
+    small_params, small_obs
+):
+    """ADVICE r2 (medium): an explicit w_rank on a fixed-rank w-free rung
+    (no w_rank parameter) must (a) warn that the override is ignored and
+    (b) STILL apply the fixed_w_rank-vs-required fallback — previously this
+    path skipped the guard and silently ran rank 1 on w != 0 data."""
+    obs = _stress_w_obs(small_params, small_obs, 600.0)
+    golden = gridder_reference(small_params, obs)
+    with pytest.warns(UserWarning) as rec:
+        got = run_gridder(small_params, obs, version="pallas_v7", w_rank=2)
+    messages = [str(w.message) for w in rec]
+    assert any("override is ignored" in m for m in messages), messages
+    assert any("w-free" in m for m in messages), messages
+    assert check_error(got, golden, verbose=False).passed
+
+
+def test_w_rank_override_on_fixed_rank_rung_w0_data(small_params, small_obs):
+    """Same override on w == 0 data: warn about the ignored override, no
+    fallback needed (rank 1 is exact), result inside the gate."""
+    golden = gridder_reference(small_params, small_obs)
+    with pytest.warns(UserWarning, match="override is ignored"):
+        got = run_gridder(small_params, small_obs, version="pallas_v7", w_rank=3)
+    assert check_error(got, golden, verbose=False).passed
+
+
 def test_w_rank_impractical_raises(small_params, small_obs):
     obs = _stress_w_obs(small_params, small_obs, 2.0e4)
     assert required_w_rank(small_params, obs) is None

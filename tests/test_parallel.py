@@ -127,21 +127,44 @@ def test_sharded_grid_reduction_scatter_variant(mesh, par_params, par_obs):
     )
 
 
-def test_grid_roundtrip_extract_is_adjointish(mesh, par_params, par_obs):
-    """grid → subgrid tiles → degridder compiles and runs under shard_map."""
+def test_sharded_pipeline_roundtrip_matches_single_device(
+    mesh, par_params, par_obs
+):
+    """Full sharded roundtrip (gridder → grid psum → extract → degridder)
+    matches the single-device pipeline at the 1e-5 gate — a quantitative
+    adjoint/layout check, not a finiteness smoke test."""
     sobs = split_observation(par_obs)
+
+    # single-device pipeline on the same inputs
+    kernel = get_kernel("gridder", "xla_v2").fn
+    sub = jax.jit(kernel, static_argnums=0)(par_params, sobs)
+    md = par_obs.metadata
+    grid_1dev = subgrids_to_grid(
+        sub, md.coord_x, md.coord_y, par_params.grid_size, apply_fft=True
+    )
+    tiles = grid_to_subgrids(
+        grid_1dev, md.coord_x, md.coord_y, par_params.subgrid_size,
+        apply_fft=True,
+    )
+    dekernel = get_kernel("degridder", "xla_v2").fn
+    exp_re, exp_im = jax.jit(dekernel, static_argnums=0)(
+        par_params, sobs, tiles
+    )
+    expected = combine_complex(np.asarray(exp_re), np.asarray(exp_im))
+
     sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
     grid = sharded_gridder_to_grid(par_params, mesh, "xla_v2")(sharded_sobs)
     vis = sharded_grid_to_degridder(par_params, mesh, "xla_v2")(
         sharded_sobs, grid
     )
-    assert np.isfinite(np.asarray(vis[0])).all()
-    assert np.asarray(vis[0]).shape == (
+    got = combine_complex(np.asarray(vis[0]), np.asarray(vis[1]))
+    assert got.shape == (
         par_params.nr_subgrids,
         par_params.nr_timesteps_subgrid,
         par_params.nr_channels,
         par_params.nr_correlations,
     )
+    assert check_error(got, expected, verbose=False).passed
 
 
 def test_fft_matmul_matches_numpy(par_params):
