@@ -168,7 +168,7 @@ def _check_one(workload: str, version: str) -> bool:
 def cmd_run(args) -> int:
     if args.mode == "perf":
         _perf_one(args.workload, args.version, args.mesh, args.w_rank,
-                  w_obs=args.w_obs)
+                  w_obs=args.w_obs, name_suffix=args.suffix)
         return 0
     ok = _check_one(args.workload, args.version)
     return 0 if ok else 1
@@ -423,6 +423,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--w-obs", action="store_true",
                        help="perf: use the nonzero-w generator (w-plane "
                             "metadata; CSV suffixed _wobs)")
+    p_run.add_argument("--suffix", default="",
+                       help="perf: extra CSV/report name suffix (e.g. "
+                            "_lofar4096 for non-default problem sizes)")
     p_run.set_defaults(fn=cmd_run)
 
     p_sweep = sub.add_parser("sweep", help="run many kernels (run_perf_*.sh analogue)")
@@ -449,6 +452,8 @@ def main(argv=None) -> int:
     p_grid.add_argument("--method", choices=["xla", "pallas"], default="xla",
                         help="to-grid accumulation: XLA windowed scatter or "
                              "the Pallas block-bucketed kernel")
+    p_grid.add_argument("--suffix", default="",
+                        help="extra CSV/report name suffix (e.g. _8192)")
     p_grid.set_defaults(fn=cmd_grid)
 
     sub.add_parser("list", help="list registered kernels").set_defaults(fn=cmd_list)

@@ -217,6 +217,28 @@ def run_degridder(
     return combine_complex(np.asarray(re), np.asarray(im))
 
 
+def _pin_rowmajor(tree):
+    """Pin every array in `tree` to a row-major device layout (no-op on
+    platforms without layout control). Used on benchmark inputs that are
+    PRODUCED BY JITTED SLICING (chunking): XLA picks S-minor layouts for
+    those and then re-inserts relayout copies into EVERY timed launch —
+    measured at ~3 ms per 8192-subgrid degridder launch (~10% of the step)
+    in the round-3 xplane trace."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = SingleDeviceSharding(jax.devices()[0])
+        shapes = jax.eval_shape(lambda t: t, tree)
+        fmts = jax.tree.map(
+            lambda s: Format(Layout(major_to_minor=tuple(range(s.ndim))), dev),
+            shapes,
+        )
+        return jax.jit(lambda t: t, out_shardings=fmts)(tree)
+    except Exception:
+        return tree
+
+
 def staged_runner(workload: str, version: str, params: IDGParams, obs: Observation, subgrids=None,
                   w_rank=None):
     """For benchmarking: returns (fn, args) with inputs staged on device so
@@ -303,7 +325,7 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
             return run_jit, (params, stg)
         s = stg.uvw.shape[0]
         if s <= MAX_CHUNK:
-            return run_jit, (params, stg, sub_pair)
+            return run_jit, (params, stg, _pin_rowmajor(sub_pair))
         # Very large batches: chunk OUTSIDE jit — one single-kernel module
         # per chunk shape (multi-kernel / oversize modules crash the remote
         # AOT compile helper on the tunneled platform). The batch is padded
@@ -336,10 +358,10 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         chunks = []
         for lo in range(0, s_pad, MAX_CHUNK):
             hi = lo + MAX_CHUNK
-            chunks.append((
+            chunks.append(_pin_rowmajor((
                 slice_staged(stg, lo, hi),
                 (sub_pair[0][lo:hi], sub_pair[1][lo:hi]),
-            ))
+            )))
         jax.block_until_ready(jax.tree_util.tree_leaves(chunks))
 
         def fn(params, chunk_list):

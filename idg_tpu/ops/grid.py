@@ -209,31 +209,36 @@ def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int):
     pieces_im = jnp.concatenate(pieces_im)
     ids = jnp.concatenate(ids)                     # [4S]
 
-    # one zero piece per block, placed FIRST so the stable sort makes it
-    # each block's first visit (initializes the output block)
-    zero = jnp.zeros((nb * nb, p, n, n), re.dtype)
-    all_re = jnp.concatenate([zero, pieces_re])
-    all_im = jnp.concatenate([zero, pieces_im])
-    all_ids = jnp.concatenate([jnp.arange(nb * nb, dtype=jnp.int32), ids])
-    order = jnp.argsort(all_ids, stable=True)
-    all_ids = all_ids[order]
+    # sort by block id; `first` marks each block's first visit (the kernel
+    # reads the aliased grid block there instead of accumulating — no
+    # O(nb²) zero pieces needed, untouched blocks keep the donated grid's
+    # content through the input/output alias)
+    order = jnp.argsort(ids, stable=True)
+    ids = ids[order]
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
-         (all_ids[1:] != all_ids[:-1]).astype(jnp.int32)]
+         (ids[1:] != ids[:-1]).astype(jnp.int32)]
     )
-    return all_re[order], all_im[order], all_ids, first
+    return pieces_re[order], pieces_im[order], ids, first
 
 
 def subgrids_to_grid_pallas(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
-    interpret=None,
+    interpret=None, grid_in: Pair | None = None,
 ) -> Pair:
     """TPU-native grid-add: quadrant-piece staging + a Pallas kernel that
     accumulates pieces into N-aligned grid blocks selected by
     scalar-prefetched block ids. Pieces are SORTED by block id, so Mosaic's
     output-block revisiting keeps each block resident in VMEM across its
     consecutive pieces — no XLA scatter, no read-modify-write races (grid
-    steps are sequential on the core)."""
+    steps are sequential on the core).
+
+    The output ALIASES `grid_in` (default: a fresh zero grid), so the
+    kernel ACCUMULATES into an existing grid — production-IDG semantics for
+    multi-pass imaging — and blocks with no pieces cost nothing (round-3
+    change: the old design streamed one zero piece per grid block, O(G²)
+    DMA traffic that dominates at SKA-scale grid sizes; now only each
+    visited block's first piece reads the aliased grid block)."""
     import functools
 
     from jax.experimental import pallas as pl
@@ -251,20 +256,28 @@ def subgrids_to_grid_pallas(
     total = pre.shape[0]
     if interpret is None:
         interpret = use_interpret()
+    if grid_in is None:
+        grid_in = (
+            jnp.zeros((p, g, g), jnp.float32),
+            jnp.zeros((p, g, g), jnp.float32),
+        )
 
-    def kernel(ids_ref, first_ref, pre_ref, pim_ref, outr_ref, outi_ref):
+    def kernel(ids_ref, first_ref, pre_ref, pim_ref, gr_ref, gi_ref,
+               outr_ref, outi_ref):
         i = pl.program_id(0)
 
         @pl.when(first_ref[i] != 0)
         def _init():
-            outr_ref[...] = pre_ref[0]
-            outi_ref[...] = pim_ref[0]
+            outr_ref[...] = gr_ref[...] + pre_ref[0]
+            outi_ref[...] = gi_ref[...] + pim_ref[0]
 
         @pl.when(first_ref[i] == 0)
         def _acc():
             outr_ref[...] += pre_ref[0]
             outi_ref[...] += pim_ref[0]
 
+    block_idx = lambda i, ids, first: (0, ids[i] // nb, ids[i] % nb)
+    grid_block = pl.BlockSpec((p, n, n), block_idx, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(total,),
@@ -273,19 +286,10 @@ def subgrids_to_grid_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, n, n), lambda i, ids, first: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            grid_block,
+            grid_block,
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (p, n, n),
-                lambda i, ids, first: (0, ids[i] // nb, ids[i] % nb),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (p, n, n),
-                lambda i, ids, first: (0, ids[i] // nb, ids[i] % nb),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
+        out_specs=(grid_block, grid_block),
     )
     out_shape = (
         jax.ShapeDtypeStruct((p, g, g), jnp.float32),
@@ -293,4 +297,5 @@ def subgrids_to_grid_pallas(
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-    )(ids, first, pre, pim)
+        input_output_aliases={4: 0, 5: 1},
+    )(ids, first, pre, pim, grid_in[0], grid_in[1])

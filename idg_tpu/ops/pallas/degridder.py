@@ -860,9 +860,24 @@ def _kernel_polstack_batch(aidx, st1, st2,
                            poxc_ref, poyc_ref, mcol_ref, n_ref,
                            sub_re_ref, sub_im_ref, sph_ref,
                            *rest,
-                           V, N, T, C, w_rank, precisions, batch):
+                           V, N, T, C, w_rank, precisions, batch, ablate="",
+                           cfold=False):
     """v6's body unrolled over `batch` subgrids per grid step (see
-    gridder pallas_v6 for the amortization rationale)."""
+    gridder pallas_v6 for the amortization rationale).
+
+    `ablate` (debug-only, wrong results): 'no_dot' replaces the MXU stage
+    with a cheap convert, 'no_stage2' replaces the VPU Φy contraction with
+    a row slice, 'no_recur' keeps the Φ-plane stores but drops the
+    recurrence complex multiplies — used to attribute the step on hardware.
+
+    `cfold=True` (the round-3 schedule, hardware-A/B'd): the rank-r Taylor
+    coefficient (−iμ)^r/r! is folded into the RHS (conj(Φx)·c_r is a [N,V]
+    column scale) and the per-rank dot outputs are ACCUMULATED, so the VPU
+    stage-2 (Φy* contraction — 0.91 µs/subgrid of the 3.4 µs step in the
+    round-3 ablation) runs ONCE per pol instead of once per (rank, pol).
+    Mathematically identical (c_r is linear, applied before the reduction);
+    the rank-r rhs is re-converted to bf16 after scaling, so the relative
+    rounding of the correction term is unchanged."""
     at_refs = rest[:4 * batch]
     out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = rest[4 * batch:]
     sph = sph_ref[...]
@@ -904,7 +919,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
             phyi_s[:, lo:lo + T] = cy_im
             phxr_s[:, lo:lo + T] = cx_re
             phxi_s[:, lo:lo + T] = cx_im
-            if c + 1 < C:
+            if c + 1 < C and ablate != "no_recur":
                 cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
                 cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
         phy_re = phyr_s[...]
@@ -929,6 +944,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
         cr = jnp.ones_like(mu)
         ci = jnp.zeros_like(mu)
         npow = jnp.ones_like(n_yx)
+        prod_acc = None
         for r in range(w_rank):
             if r:
                 cr, ci = ci * mu / r, -cr * mu / r
@@ -940,13 +956,45 @@ def _kernel_polstack_batch(aidx, st1, st2,
                 ],
                 axis=0,
             )
-            prod = _polstack_dot(
-                lhs, rha, rhb, rh, precisions[min(r, len(precisions) - 1)]
-            )
+            mode = precisions[min(r, len(precisions) - 1)]
+            if ablate == "no_dot":
+                prod = rha.astype(jnp.float32) + lhs[0:1, 0:1]
+            elif cfold and r:
+                # fold c_r into the RHS: X' = conj(Φx)·c_r, column scale
+                # (general complex packing [[X're, X'im], [−X'im, X're]])
+                xre = phx_re * cr + phx_im * ci
+                xim = phx_re * ci - phx_im * cr
+                rhs_r = jnp.concatenate(
+                    [
+                        jnp.concatenate([xre, xim], axis=1),
+                        jnp.concatenate([-xim, xre], axis=1),
+                    ],
+                    axis=0,
+                )
+                rh_r = rhs_r.astype(jnp.bfloat16)
+                if mode == "default":
+                    prod = _polstack_dot(lhs, None, None, rh_r, mode)
+                else:
+                    rl_r = (rhs_r - rh_r.astype(jnp.float32)).astype(jnp.bfloat16)
+                    prod = _polstack_dot(
+                        lhs,
+                        jnp.concatenate([rh_r, rl_r], axis=0),
+                        jnp.concatenate([rl_r, rh_r], axis=0),
+                        rh_r, mode,
+                    )
+            else:
+                prod = _polstack_dot(lhs, rha, rhb, rh, mode)
+            if cfold:
+                prod_acc = prod if prod_acc is None else prod_acc + prod
+                continue
             # stage 2 per pol (see _kernel_polstack)
             d_re = prod[:, 0:V]
             d_im = prod[:, V:2 * V]
             for p in range(P_POLS):
+                if ablate == "no_stage2":
+                    rows_re[p] = rows_re[p] + d_re[p * N:p * N + 1]
+                    rows_im[p] = rows_im[p] + d_im[p * N:p * N + 1]
+                    continue
                 dr = d_re[p * N:(p + 1) * N]
                 di = d_im[p * N:(p + 1) * N]
                 sr = dr * phy_re + di * phy_im
@@ -956,12 +1004,24 @@ def _kernel_polstack_batch(aidx, st1, st2,
                 er, ei = kcmul(vr, vi, cr, ci)
                 rows_re[p] = rows_re[p] + er
                 rows_im[p] = rows_im[p] + ei
+        if cfold:
+            # single Φy* contraction per pol over the rank-accumulated dots
+            d_re = prod_acc[:, 0:V]
+            d_im = prod_acc[:, V:2 * V]
+            for p in range(P_POLS):
+                dr = d_re[p * N:(p + 1) * N]
+                di = d_im[p * N:(p + 1) * N]
+                sr = dr * phy_re + di * phy_im
+                si = di * phy_re - dr * phy_im
+                rows_re[p] = jnp.sum(sr, axis=0, keepdims=True)
+                rows_im[p] = jnp.sum(si, axis=0, keepdims=True)
         out_re_ref[b] = jnp.concatenate(rows_re, axis=0)
         out_im_ref[b] = jnp.concatenate(rows_im, axis=0)
 
 
 def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
-                                  interpret, batch: int = 4):
+                                  interpret, batch: int = 4, ablate: str = "",
+                                  cfold: bool = False):
     import dataclasses as _dc
 
     from .common import _PER_SUBGRID_FIELDS
@@ -989,7 +1049,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
         interpret = use_interpret()
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
-        precisions=precisions, batch=B,
+        precisions=precisions, batch=B, ablate=ablate, cfold=cfold,
     )
 
     def at_spec(sel, b):

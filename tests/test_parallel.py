@@ -262,6 +262,39 @@ def test_grid_wrap_and_pallas_agree(small_params):
     )
 
 
+def test_grid_add_pallas_accumulates_into_existing_grid(small_params):
+    """The Pallas grid-add aliases its grid input: untouched blocks keep
+    the donated grid's content and visited blocks accumulate onto it
+    (production-IDG multi-pass semantics; also drops the O(G²) zero-piece
+    DMA the old formulation paid)."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.grid import subgrids_to_grid, subgrids_to_grid_pallas
+
+    rng = np.random.default_rng(5)
+    s, p, n, g = 7, 4, 16, 128   # sparse: most grid blocks untouched
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    cx = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
+    cy = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
+    expected = subgrids_to_grid(sub, cx, cy, g, apply_fft=False)
+    base = (
+        jnp.full((p, g, g), 1.5, jnp.float32),
+        jnp.full((p, g, g), -0.5, jnp.float32),
+    )
+    got = subgrids_to_grid_pallas(
+        sub, cx, cy, g, apply_fft=False, interpret=True, grid_in=base
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expected[0]) + 1.5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(expected[1]) - 0.5, atol=2e-6
+    )
+
+
 def test_grid_gather_wraps(small_params):
     """grid_to_subgrids at an overhanging coordinate reads the opposite
     edge (periodic), consistent with the scatter side."""
