@@ -255,7 +255,15 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     from .pallas import STAGED
 
     version, w_rank = _resolve(workload, version, params, obs, w_rank)
-    sobs = jax.device_put(split_observation(obs))
+    host_sobs = split_observation(obs)
+    if workload == "degridder" and (workload, version) in STAGED:
+        # The degridder has no visibility INPUT (vis is its output) and its
+        # staging pass runs with_vis=False — don't ship the ~1.6 GB
+        # fullsize visibility planes to the device at all.
+        import dataclasses as _dc
+
+        host_sobs = _dc.replace(host_sobs, vis_re=None, vis_im=None)
+    sobs = jax.device_put(host_sobs)
     sub_pair = None if subgrids is None else jax.device_put(split_complex(subgrids))
 
     if (workload, version) in STAGED:
@@ -363,11 +371,29 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
                 (sub_pair[0][lo:hi], sub_pair[1][lo:hi]),
             )))
         jax.block_until_ready(jax.tree_util.tree_leaves(chunks))
+        # Drop the full padded copies before timing: only the pinned chunks
+        # are needed, and the timing window queues several windows' worth
+        # of launches whose buffers all coexist on a memory-tight device.
+        del stg, sub_pair
+
+        # The timed fn returns a 1-element slice of each chunk result (the
+        # full [MAX_CHUNK, P, V] outputs become XLA temps inside the
+        # executable instead of persistent per-launch output buffers).
+        # The timing window dispatches its iterations asynchronously, so
+        # with full outputs every queued launch holds ~0.5 GB — at window
+        # depth ~8 that alone OOMed fullsize runs. Slicing inside jit
+        # cannot dead-code the pallas_call (opaque), so the timed work is
+        # unchanged.
+        def _slim(p, stg_c, sub_c):
+            out = run_fn(p, stg_c, sub_c)
+            return jax.tree_util.tree_map(lambda x: x[:1, :1, :1], out)
+
+        run_slim = jax.jit(_slim, static_argnums=0)
 
         def fn(params, chunk_list):
             out = None
             for stg_c, sub_c in chunk_list:
-                out = run_jit(params, stg_c, sub_c)
+                out = run_slim(params, stg_c, sub_c)
             return out
 
         return fn, (params, chunks)

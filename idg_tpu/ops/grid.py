@@ -156,46 +156,56 @@ def grid_to_subgrids(
 # Pallas grid-add: block-bucketed accumulation (no XLA scatter)
 # --------------------------------------------------------------------------
 
-def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int):
+def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int,
+                     block_w: int):
     """Decompose tiles into block-aligned quadrant pieces (XLA-side staging).
 
-    Grid blocked N×N. A tile at (cy, cx) intersects up to 4 blocks; the
-    piece for quadrant (qy, qx) is the tile rolled by its in-block offset
-    and masked to that quadrant — so every piece drops whole into ONE
-    N-aligned block at its final in-block position (wrap handled by the
-    mod on block ids). Returns (pieces_re, pieces_im, block_ids, first)
-    sorted by block id with one zero piece per block prepended (zeroes the
-    full grid on each block's first visit).
+    Grid blocked N rows × `block_w` cols (block_w = 128 on hardware: Mosaic
+    requires the trailing block dim to be lane-divisible, so N-wide blocks
+    are not lowerable). A tile at (cy, cx) intersects up to 4 blocks; the
+    piece for quadrant (qy, qx) is the tile rolled to its in-block offset
+    inside an [N, block_w] window and masked to that quadrant — so every
+    piece drops whole into ONE aligned block at its final in-block position
+    (grid-edge wrap handled by the mod on block ids). Returns
+    (pieces_re, pieces_im, block_ids, first) sorted by block id; `first`
+    marks each block's first visit (the kernel reads the aliased grid
+    block there instead of accumulating, so untouched blocks cost nothing).
     """
     re, im = sub
     s, p, n, _ = re.shape
     g = grid_size
-    nb = g // n
+    bw = block_w
+    nby = g // n
+    nbx = g // bw
     assert g % n == 0, "grid_size must be a multiple of subgrid_size"
+    assert g % bw == 0, "grid_size must be a multiple of the block width"
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
-    by, bx = cy // n, cx // n
-    oy, ox = cy % n, cx % n
+    by, bx = cy // n, cx // bw
+    oy, ox = cy % n, cx % bw
 
-    # roll each tile by its in-block offset: rolled[(oy+y)%n, (ox+x)%n] = t[y,x]
+    # roll each tile into its [n, bw] window:
+    #   rolled[(oy+y)%n, (ox+x)%bw] = t[y, x]
+    # (x-pad the tile to bw with zeros so out-of-extent columns read 0)
     rows = (jnp.arange(n, dtype=jnp.int32)[None, :] - oy[:, None]) % n  # [S, n]
-    cols = (jnp.arange(n, dtype=jnp.int32)[None, :] - ox[:, None]) % n
-    rolled_re = re[
+    cols = (jnp.arange(bw, dtype=jnp.int32)[None, :] - ox[:, None]) % bw
+    re_p = jnp.pad(re, ((0, 0), (0, 0), (0, 0), (0, bw - n))) if bw > n else re
+    im_p = jnp.pad(im, ((0, 0), (0, 0), (0, 0), (0, bw - n))) if bw > n else im
+    rolled_re = re_p[
         jnp.arange(s)[:, None, None, None],
         jnp.arange(p)[None, :, None, None],
         rows[:, None, :, None],
         cols[:, None, None, :],
     ]
-    rolled_im = im[
+    rolled_im = im_p[
         jnp.arange(s)[:, None, None, None],
         jnp.arange(p)[None, :, None, None],
         rows[:, None, :, None],
         cols[:, None, None, :],
     ]
     # quadrant masks on the rolled positions
-    pos = jnp.arange(n, dtype=jnp.int32)
-    row_hi = pos[None, :] >= oy[:, None]          # [S, n] True → qy = 0
-    col_hi = pos[None, :] >= ox[:, None]
+    row_hi = jnp.arange(n, dtype=jnp.int32)[None, :] >= oy[:, None]
+    col_hi = jnp.arange(bw, dtype=jnp.int32)[None, :] >= ox[:, None]
     pieces_re, pieces_im, ids = [], [], []
     for qy in (0, 1):
         rmask = row_hi if qy == 0 else ~row_hi
@@ -204,15 +214,13 @@ def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int):
             m = (rmask[:, None, :, None] & cmask[:, None, None, :])
             pieces_re.append(jnp.where(m, rolled_re, 0.0))
             pieces_im.append(jnp.where(m, rolled_im, 0.0))
-            ids.append(((by + qy) % nb) * nb + ((bx + qx) % nb))
-    pieces_re = jnp.concatenate(pieces_re)         # [4S, P, n, n]
+            ids.append(((by + qy) % nby) * nbx + ((bx + qx) % nbx))
+    pieces_re = jnp.concatenate(pieces_re)         # [4S, P, n, bw]
     pieces_im = jnp.concatenate(pieces_im)
     ids = jnp.concatenate(ids)                     # [4S]
 
-    # sort by block id; `first` marks each block's first visit (the kernel
-    # reads the aliased grid block there instead of accumulating — no
-    # O(nb²) zero pieces needed, untouched blocks keep the donated grid's
-    # content through the input/output alias)
+    # sort by block id so Mosaic's output-block revisiting keeps each grid
+    # block VMEM-resident across its consecutive pieces
     order = jnp.argsort(ids, stable=True)
     ids = ids[order]
     first = jnp.concatenate(
@@ -222,25 +230,30 @@ def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int):
     return pieces_re[order], pieces_im[order], ids, first
 
 
+# Bound on the pieces buffer: chunk the subgrid batch so the staged
+# [4·chunk, P, N, 128] pieces stay ~1 GB (the aliased grid carries the
+# partial sum between chunk calls).
+GRID_ADD_CHUNK = 4096
+
+
 def subgrids_to_grid_pallas(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
     interpret=None, grid_in: Pair | None = None,
 ) -> Pair:
     """TPU-native grid-add: quadrant-piece staging + a Pallas kernel that
-    accumulates pieces into N-aligned grid blocks selected by
-    scalar-prefetched block ids. Pieces are SORTED by block id, so Mosaic's
-    output-block revisiting keeps each block resident in VMEM across its
-    consecutive pieces — no XLA scatter, no read-modify-write races (grid
-    steps are sequential on the core).
+    accumulates pieces into [N, 128]-aligned grid blocks selected by
+    scalar-prefetched block ids (128-wide blocks: Mosaic requires the
+    trailing block dim to be lane-divisible). Pieces are SORTED by block
+    id, so Mosaic's output-block revisiting keeps each block resident in
+    VMEM across its consecutive pieces — no XLA scatter, no
+    read-modify-write races (grid steps are sequential on the core).
 
     The output ALIASES `grid_in` (default: a fresh zero grid), so the
     kernel ACCUMULATES into an existing grid — production-IDG semantics for
-    multi-pass imaging — and blocks with no pieces cost nothing (round-3
-    change: the old design streamed one zero piece per grid block, O(G²)
-    DMA traffic that dominates at SKA-scale grid sizes; now only each
-    visited block's first piece reads the aliased grid block)."""
-    import functools
-
+    multi-pass imaging — and blocks with no pieces cost nothing: only each
+    visited block's first piece reads the aliased grid block. Large subgrid
+    batches are chunked (GRID_ADD_CHUNK) with the partial sum riding the
+    alias between chunk calls."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -251,9 +264,8 @@ def subgrids_to_grid_pallas(
         sub = fftshift2_pair(sub)
     s, p, n, _ = sub[0].shape
     g = grid_size
-    nb = g // n
-    pre, pim, ids, first = _quadrant_pieces(sub, coord_y, coord_x, g)
-    total = pre.shape[0]
+    bw = min(128, g)
+    nbx = g // bw
     if interpret is None:
         interpret = use_interpret()
     if grid_in is None:
@@ -276,26 +288,43 @@ def subgrids_to_grid_pallas(
             outr_ref[...] += pre_ref[0]
             outi_ref[...] += pim_ref[0]
 
-    block_idx = lambda i, ids, first: (0, ids[i] // nb, ids[i] % nb)
-    grid_block = pl.BlockSpec((p, n, n), block_idx, memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(total,),
-        in_specs=[
-            pl.BlockSpec((1, p, n, n), lambda i, ids, first: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, n, n), lambda i, ids, first: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            grid_block,
-            grid_block,
-        ],
-        out_specs=(grid_block, grid_block),
-    )
-    out_shape = (
-        jax.ShapeDtypeStruct((p, g, g), jnp.float32),
-        jax.ShapeDtypeStruct((p, g, g), jnp.float32),
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
-        input_output_aliases={4: 0, 5: 1},
-    )(ids, first, pre, pim, grid_in[0], grid_in[1])
+    block_idx = lambda i, ids, first: (0, ids[i] // nbx, ids[i] % nbx)
+    grid_block = pl.BlockSpec((p, n, bw), block_idx, memory_space=pltpu.VMEM)
+
+    def one_chunk(sub_c: Pair, cx_c, cy_c, grid_pair: Pair) -> Pair:
+        pre, pim, ids, first = _quadrant_pieces(sub_c, cy_c, cx_c, g, bw)
+        total = pre.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(total,),
+            in_specs=[
+                pl.BlockSpec((1, p, n, bw), lambda i, ids, first: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, p, n, bw), lambda i, ids, first: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                grid_block,
+                grid_block,
+            ],
+            out_specs=(grid_block, grid_block),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((p, g, g), jnp.float32),
+            jax.ShapeDtypeStruct((p, g, g), jnp.float32),
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+            input_output_aliases={4: 0, 5: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(ids, first, pre, pim, grid_pair[0], grid_pair[1])
+
+    grid_pair = grid_in
+    for lo in range(0, s, GRID_ADD_CHUNK):
+        hi = min(lo + GRID_ADD_CHUNK, s)
+        grid_pair = one_chunk(
+            (sub[0][lo:hi], sub[1][lo:hi]),
+            coord_x[lo:hi], coord_y[lo:hi], grid_pair,
+        )
+    return grid_pair

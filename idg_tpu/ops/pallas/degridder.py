@@ -1116,24 +1116,27 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
 
 @register(
     "degridder", "pallas_v7",
-    "v6 + multi-subgrid grid steps: per-step fixed costs amortized over 4 subgrids",
+    "v6 + 8-subgrid grid steps + rank-folded RHS (one Φy* contraction per pol)",
     family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2,
-                        canonical=False, batch: int = 4):
+                        canonical=False, batch: int = 8, cfold: bool = True):
+    # batch=8 + cfold won the round-3 hardware A/B (res/ probe: 3.10 vs
+    # 3.15 (b4) vs 3.66 (b16) µs/subgrid; non-cfold round-2 was 3.7).
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
-        w_rank, degridder_precisions(w_rank), interpret, batch,
+        w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
     )
 
 
 def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
-                               w_rank: int = 2, batch: int = 4):
+                               w_rank: int = 2, batch: int = 8,
+                               cfold: bool = True):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
-        w_rank, degridder_precisions(w_rank), interpret, batch,
+        w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
     )
 
 
@@ -1145,10 +1148,11 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
 )
 def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, canonical=False,
-                        batch: int = 4):
+                        batch: int = 8):
     """v7 with the w·n Taylor correction dropped (w_rank=1): exact for
     w ≡ 0 observations (all in-tree generators); the general-w kernels are
-    v3–v7. See gridder pallas_v7 for the rationale."""
+    v3–v7. See gridder pallas_v7 for the rationale. batch=8 per the
+    round-3 hardware A/B (2.29 µs/subgrid vs 2.6 at b4)."""
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
@@ -1157,7 +1161,7 @@ def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
 
 
 def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
-                               batch: int = 4, w_rank: int = 1):
+                               batch: int = 8, w_rank: int = 1):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, ("3x2k",), interpret, batch,

@@ -661,7 +661,8 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                             uvwr_ref, mur_ref, vre_ref, vim_ref, k_ref,
                             poxc_ref, poyc_ref, mcol_ref, npack_ref, sph_ref,
                             *rest,
-                            V, N, T, C, w_rank, precisions, batch):
+                            V, N, T, C, w_rank, precisions, batch,
+                            dbuf=False):
     """v5's body unrolled over `batch` subgrids per grid step: per-step
     fixed costs (DMA setup, grid bookkeeping) amortize across the batch.
     Each subgrid's Jones terms arrive through its own scalar-prefetch-
@@ -676,10 +677,18 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     a round-2 A/B showed pre-split bf16 scratches REGRESS (sub-f32-tile
     bf16 stores force packing relayouts per store) and that the packed
     M=128 dot loses to 3 passes at M=64 (MXU cost scales with M rows
-    streamed, not occupied tiles)."""
+    streamed, not occupied tiles).
+
+    `dbuf=True` (round-3 VPU/MXU-overlap schedule): the Φ/W scratches are
+    double-buffered by subgrid parity and all dot-dependent VPU work (rank
+    combine, Jones epilogue, output stores) is deferred to a second loop.
+    With a single scratch set, subgrid b+1's Φ/W-forming (pure VPU) has a
+    write-after-read hazard on subgrid b's MXU dot inputs, serializing the
+    two units; with per-parity buffers the chains are independent and
+    Mosaic's scheduler can run VPU(b+1) under MXU(b)."""
     at_refs = rest[:4 * batch]
-    (out_re_ref, out_im_ref,
-     lhs_s, phxr_s, phxi_s, rhs_s) = rest[4 * batch:]
+    out_re_ref, out_im_ref = rest[4 * batch:4 * batch + 2]
+    scr = rest[4 * batch + 2:]
     NP = N * P_POLS
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
@@ -687,7 +696,11 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     npack = npack_ref[...]
     sph = sph_ref[...]
 
+    deferred = []
     for b in range(batch):
+        lhs_s, phxr_s, phxi_s, rhs_s = (
+            scr[4 * (b % 2):4 * (b % 2) + 4] if dbuf else scr[:4]
+        )
         uvw = uvwr_ref[b]                           # [3, T]
         u_row = uvw[0:1, :]
         v_row = uvw[1:2, :]
@@ -723,17 +736,13 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         mu = mur_ref[b]                             # [1, V]
         vre = vre_ref[b]                            # [P, V]
         vim = vim_ref[b]
-        outs = []
 
         # rank 0: form W = Φx ⊛ vis once, straight into the RHS scratch
         for p in range(P_POLS):
             w_re, w_im = kcmul(phx_re, phx_im, vre[p:p + 1], vim[p:p + 1])
             rhs_s[p * N:(p + 1) * N, :] = w_re
             rhs_s[NP + p * N:NP + (p + 1) * N, :] = w_im
-        prod = _dot_mixed(lhs, rhs_s[...], precisions[0], transpose_rhs=True)
-        c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
-        c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
-        outs.append((c_re, c_im))
+        prods = [_dot_mixed(lhs, rhs_s[...], precisions[0], transpose_rhs=True)]
 
         # ranks ≥ 1: (iμ)^r/r! rides on the Φy side; the W scratch is reused
         cr = jnp.ones_like(mu)
@@ -746,33 +755,49 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                  lhs[0:N] * ci + lhs[N:2 * N] * cr],
                 axis=0,
             )                                       # [2N, V]
-            prod = _dot_mixed(l1, rhs_s[...], mode, transpose_rhs=True)
-            c_re = prod[0:N, 0:NP] - prod[N:2 * N, NP:2 * NP]
-            c_im = prod[0:N, NP:2 * NP] + prod[N:2 * N, 0:NP]
-            outs.append((c_re, c_im))
+            prods.append(_dot_mixed(l1, rhs_s[...], mode, transpose_rhs=True))
 
-        pix_re, pix_im = outs[0]
-        npow = npack
-        for r in range(1, w_rank):
-            pix_re = pix_re + outs[r][0] * npow
-            pix_im = pix_im + outs[r][1] * npow
-            npow = npow * npack
+        def finish(b=b, prods=prods):
+            outs = [
+                (p_[0:N, 0:NP] - p_[N:2 * N, NP:2 * NP],
+                 p_[0:N, NP:2 * NP] + p_[N:2 * N, 0:NP])
+                for p_ in prods
+            ]
+            pix_re, pix_im = outs[0]
+            npow = npack
+            for r in range(1, w_rank):
+                pix_re = pix_re + outs[r][0] * npow
+                pix_im = pix_im + outs[r][1] * npow
+                npow = npow * npack
 
-        pix = [
-            (pix_re[:, p * N:(p + 1) * N], pix_im[:, p * N:(p + 1) * N])
-            for p in range(P_POLS)
-        ]
-        a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
-              for p in range(P_POLS)]
-        a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
-              for p in range(P_POLS)]
-        for p, (r_, i_) in enumerate(_epilogue(pix, sph, a1, a2)):
-            out_re_ref[b, p] = r_
-            out_im_ref[b, p] = i_
+            pix = [
+                (pix_re[:, p * N:(p + 1) * N], pix_im[:, p * N:(p + 1) * N])
+                for p in range(P_POLS)
+            ]
+            a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
+                  for p in range(P_POLS)]
+            a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
+                  for p in range(P_POLS)]
+            for p, (r_, i_) in enumerate(_epilogue(pix, sph, a1, a2)):
+                out_re_ref[b, p] = r_
+                out_im_ref[b, p] = i_
+
+        if dbuf:
+            # one-deep software pipeline: emit finish(b-1) only after
+            # stage(b)+dots(b), so each subgrid's dot-dependent VPU tail
+            # fills the shadow of the NEXT subgrid's MXU dots (liveness
+            # bounded to two subgrids' prods)
+            deferred.append(finish)
+            if len(deferred) > 1:
+                deferred.pop(0)()
+        else:
+            finish()
+    for fin in deferred:
+        fin()
 
 
 def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
-                                 batch: int = 4):
+                                 batch: int = 4, dbuf: bool = False):
     import dataclasses as _dc
 
     from .common import _PER_SUBGRID_FIELDS
@@ -797,7 +822,7 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         interpret = use_interpret()
     kernel = functools.partial(
         _kernel_sep_recur_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
-        precisions=precisions, batch=batch,
+        precisions=precisions, batch=batch, dbuf=dbuf,
     )
     B = batch
 
@@ -840,7 +865,7 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
             pltpu.VMEM((N, V), jnp.float32),                  # Φx re
             pltpu.VMEM((N, V), jnp.float32),                  # Φx im
             pltpu.VMEM((2 * N * P_POLS, V), jnp.float32),    # W
-        ],
+        ] * (2 if dbuf else 1),                               # per-parity sets
     )
     out_shape = (
         jax.ShapeDtypeStruct((s_pad, P_POLS, N, N), jnp.float32),
@@ -875,10 +900,11 @@ def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
 
 
 def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
-                             batch: int = 4, precisions=None):
+                             batch: int = 4, precisions=None,
+                             dbuf: bool = False):
     return _gridder_sep_recur_batch_run(
         params, stg, w_rank, precisions or gridder_precisions(w_rank),
-        interpret, batch,
+        interpret, batch, dbuf,
     )
 
 
@@ -902,7 +928,8 @@ def gridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
 
 
 def gridder_pallas_v7_staged(params, stg, interpret=None, batch: int = 4,
-                             w_rank: int = 1, precisions=None):
+                             w_rank: int = 1, precisions=None,
+                             dbuf: bool = False):
     return _gridder_sep_recur_batch_run(
-        params, stg, w_rank, precisions or ("3x",), interpret, batch
+        params, stg, w_rank, precisions or ("3x",), interpret, batch, dbuf
     )

@@ -295,6 +295,35 @@ def test_grid_add_pallas_accumulates_into_existing_grid(small_params):
     )
 
 
+def test_grid_add_pallas_chunked_matches_unchunked(monkeypatch):
+    """The subgrid-batch chunking (pieces buffer bound) carries the partial
+    sum across chunk calls through the grid alias — results must match the
+    single-chunk path exactly."""
+    import jax.numpy as jnp
+
+    import idg_tpu.ops.grid as gridmod
+
+    rng = np.random.default_rng(11)
+    s, p, n, g = 13, 4, 16, 64
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    cx = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
+    cy = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
+    ref = gridmod.subgrids_to_grid_pallas(
+        sub, cx, cy, g, apply_fft=False, interpret=True
+    )
+    monkeypatch.setattr(gridmod, "GRID_ADD_CHUNK", 4)  # 4 chunks for S=13
+    got = gridmod.subgrids_to_grid_pallas(
+        sub, cx, cy, g, apply_fft=False, interpret=True
+    )
+    # chunking reorders the f32 piece summation (partial sums cross chunk
+    # boundaries) — equal up to rounding, not bitwise
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-6)
+
+
 def test_grid_gather_wraps(small_params):
     """grid_to_subgrids at an overhanging coordinate reads the opposite
     edge (periodic), consistent with the scatter side."""
