@@ -276,19 +276,32 @@ def cmd_grid(args) -> int:
         sub = jax.device_put(split_complex(initialize_subgrids(
             params.nr_subgrids, params.nr_correlations, n
         )))
-        if args.method == "pallas":
-            from .ops.grid import subgrids_to_grid_pallas
-
-            fn = jax.jit(
-                lambda s, x, y: subgrids_to_grid_pallas(s, x, y, g, apply_fft)
-            )
-            name = "grid_add_pallas"
-        else:
+        if args.method == "scatter":
             fn = jax.jit(
                 lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
             )
-            name = "grid_add"
+            name = "grid_add_scatter"
+        else:
+            # bucketed paths: routing planned once on the host from the
+            # (host-known) metadata coordinates; hot path is dense.
+            from .ops.grid import (
+                plan_grid_add, subgrids_to_grid_bucketed,
+                subgrids_to_grid_pallas,
+            )
+
+            plan = plan_grid_add(md.coord_x, md.coord_y, g, n)
+            print(f"grid-add plan: {plan.nby}x{plan.nbx} blocks, cap "
+                  f"{plan.cap}, slot inflation {plan.slot_inflation:.2f}x")
+            if args.method == "pallas":
+                fn = jax.jit(lambda s, x, y: subgrids_to_grid_pallas(
+                    s, x, y, g, apply_fft, plan=plan))
+                name = "grid_add_pallas"
+            else:
+                fn = jax.jit(lambda s, x, y: subgrids_to_grid_bucketed(
+                    s, x, y, g, apply_fft, plan=plan))
+                name = "grid_add"
         fargs = (sub, cx, cy)
+        name += args.suffix
     else:
         import numpy as np
 
@@ -300,7 +313,7 @@ def cmd_grid(args) -> int:
             lambda gr, x, y: grid_to_subgrids(gr, x, y, n, apply_fft)
         )
         fargs = (grid, cx, cy)
-        name = "grid_extract"
+        name = "grid_extract" + args.suffix
 
     timing = time_kernel(fn, *fargs, harness=harness)
     gflops, gbytes, _ = grid_costs(params)
@@ -449,9 +462,12 @@ def main(argv=None) -> int:
                         default="to-grid")
     p_grid.add_argument("--no-fft", action="store_true",
                         help="scatter/gather only (skip the subgrid DFT)")
-    p_grid.add_argument("--method", choices=["xla", "pallas"], default="xla",
-                        help="to-grid accumulation: XLA windowed scatter or "
-                             "the Pallas block-bucketed kernel")
+    p_grid.add_argument("--method", choices=["bucket", "scatter", "pallas"],
+                        default="bucket",
+                        help="to-grid accumulation: host-planned bucketed "
+                             "gather/reduce (default; 'pallas' runs the "
+                             "reduction as a Pallas kernel) or the generic "
+                             "XLA windowed scatter")
     p_grid.add_argument("--suffix", default="",
                         help="extra CSV/report name suffix (e.g. _8192)")
     p_grid.set_defaults(fn=cmd_grid)

@@ -75,30 +75,35 @@ def fftshift2_pair(x: Pair) -> Pair:
 
 def _scatter_add_tiles(tiles, cy, cx, grid_size: int):
     """Windowed scatter-add of [S, P, N, N] tiles at rows cy / cols cx into
-    a padded [P, G+N, G+N] grid, then fold the wrap margins back.
+    a padded [G+N, G+N] grid per polarization, then fold the wrap margins.
 
-    One lax.scatter_add with N×N UPDATE WINDOWS — orders of magnitude
-    faster on TPU than the elementwise-index formulation (each window is a
-    dynamic-slice-add, not S·N² scattered elements). Coordinates are taken
-    mod G, so every window lands in-bounds of the padded grid; the N-wide
-    right/bottom margins are then added onto the opposite edges, which is
-    exactly periodic wrap."""
+    One lax.scatter_add with N×N UPDATE WINDOWS per pol — orders of
+    magnitude faster on TPU than the elementwise-index formulation (each
+    window is a dynamic-slice-add, not S·N² scattered elements).
+    Coordinates are taken mod G, so every window lands in-bounds of the
+    padded grid; the N-wide right/bottom margins are then added onto the
+    opposite edges, which is exactly periodic wrap. Scattering one
+    single-pol plane at a time bounds peak HBM at large grids (a fused
+    [P, G+N, G+N] pass held >2 full grids live and OOMed at 16384²)."""
     s_count, p, n, _ = tiles.shape
     g = grid_size
-    padded = jnp.zeros((p, g + n, g + n), tiles.dtype)
     idx = jnp.stack([cy % g, cx % g], axis=-1)       # [S, 2]
     dn = lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
+        update_window_dims=(1, 2),
         inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(1, 2),
+        scatter_dims_to_operand_dims=(0, 1),
     )
-    padded = lax.scatter_add(
-        padded, idx, tiles, dn,
-        indices_are_sorted=False, unique_indices=False,
-    )
-    # fold x margin, then y margin (periodic wrap)
-    main = padded[:, :, :g].at[:, :, :n].add(padded[:, :, g:])
-    return main[:, :g, :].at[:, :n, :].add(main[:, g:, :])
+    planes = []
+    for pol in range(p):
+        padded = jnp.zeros((g + n, g + n), tiles.dtype)
+        padded = lax.scatter_add(
+            padded, idx, tiles[:, pol], dn,
+            indices_are_sorted=False, unique_indices=False,
+        )
+        # fold x margin, then y margin (periodic wrap)
+        main = padded[:, :g].at[:, :n].add(padded[:, g:])
+        planes.append(main[:g, :].at[:n, :].add(main[g:, :]))
+    return jnp.stack(planes)
 
 
 def subgrids_to_grid(
@@ -153,178 +158,224 @@ def grid_to_subgrids(
 
 
 # --------------------------------------------------------------------------
-# Pallas grid-add: block-bucketed accumulation (no XLA scatter)
+# Bucketed grid-add: host-planned block routing + dense device reduction
 # --------------------------------------------------------------------------
+#
+# The TPU-native answer to the scatter-add problem. A windowed
+# lax.scatter_add serializes its S non-unique window updates (~13 µs each on
+# v5e → 333 ms at the default problem); a Pallas kernel with data-dependent
+# output blocks defeats Mosaic's pipeliner the same way. Instead: subgrid
+# coordinates are HOST data (metadata is host-initialized in the reference
+# too, app/CUDA/util.cpp:212-214), so the irregular routing is planned once
+# per observation in NumPy, and the device-side hot path is fully dense:
+#
+#   1. quadrant decomposition (device): each N×N tile straddles ≤4 N×N
+#      grid-aligned blocks; roll + mask it into 4 block-aligned pieces.
+#   2. slot plan (host): sort pieces by destination block, pad each block's
+#      piece list to a common `cap` → a [NB, cap] gather table.
+#   3. dense reduce (device): gather pieces by the table and sum over the
+#      cap axis — a contiguous, parallel, HBM-bandwidth-bound reduction —
+#      then a pure reshape/transpose lays the summed blocks into the grid.
+#
+# No scatter anywhere: wrap is folded into the block ids by the host mod,
+# and placement is a reshape because the blocks tile the grid exactly.
 
-def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int,
-                     block_w: int):
-    """Decompose tiles into block-aligned quadrant pieces (XLA-side staging).
 
-    Grid blocked N rows × `block_w` cols (block_w = 128 on hardware: Mosaic
-    requires the trailing block dim to be lane-divisible, so N-wide blocks
-    are not lowerable). A tile at (cy, cx) intersects up to 4 blocks; the
-    piece for quadrant (qy, qx) is the tile rolled to its in-block offset
-    inside an [N, block_w] window and masked to that quadrant — so every
-    piece drops whole into ONE aligned block at its final in-block position
-    (grid-edge wrap handled by the mod on block ids). Returns
-    (pieces_re, pieces_im, block_ids, first) sorted by block id; `first`
-    marks each block's first visit (the kernel reads the aliased grid
-    block there instead of accumulating, so untouched blocks cost nothing).
+class GridAddPlan:
+    """Host-precomputed routing for the bucketed grid-add (one observation).
+
+    slots[b, j] = flat index of the j-th piece destined for block b, or the
+    sentinel `4·S` (a zero row appended to the piece buffer) for padding.
+    Blocks are the (g/n)² N×N-aligned grid tiles, row-major; block rows are
+    padded to a multiple of 8 for the Pallas reduction's sublane blocking.
     """
+
+    def __init__(self, slots: np.ndarray, nby: int, nbx: int, cap: int,
+                 nr_subgrids: int, grid_size: int, subgrid_size: int):
+        self.slots = slots
+        self.nby = nby
+        self.nbx = nbx
+        self.cap = cap
+        self.nr_subgrids = nr_subgrids
+        self.grid_size = grid_size
+        self.subgrid_size = subgrid_size
+
+    @property
+    def slot_inflation(self) -> float:
+        """Padded slots per real piece — the dense path's waste factor."""
+        return self.slots.size / float(4 * self.nr_subgrids)
+
+
+def plan_grid_add(coord_x, coord_y, grid_size: int, subgrid_size: int,
+                  cap_align: int = 8) -> GridAddPlan:
+    """Build the [NB, cap] slot table from host subgrid coordinates."""
+    n = subgrid_size
+    g = grid_size
+    if g % n:
+        raise ValueError(f"grid_size {g} must be a multiple of subgrid_size {n}")
+    cx = np.asarray(coord_x).astype(np.int64) % g
+    cy = np.asarray(coord_y).astype(np.int64) % g
+    s = int(cx.shape[0])
+    nby = nbx = g // n
+    by, bx = cy // n, cx // n
+    ids = np.concatenate([
+        ((by + qy) % nby) * nbx + ((bx + qx) % nbx)
+        for qy in (0, 1) for qx in (0, 1)
+    ])  # [4S], quadrant-major — must match _quadrant_pieces order
+    nb = nby * nbx
+    counts = np.bincount(ids, minlength=nb)
+    cap = int(counts.max()) if ids.size else 0
+    cap = max(cap_align, ((cap + cap_align - 1) // cap_align) * cap_align)
+    order = np.argsort(ids, kind="stable")
+    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(4 * s) - seg_start[ids[order]]
+    nbp = ((nb + 7) // 8) * 8
+    slots = np.full((nbp, cap), 4 * s, np.int32)
+    slots[ids[order], rank] = order.astype(np.int32)
+    return GridAddPlan(slots, nby, nbx, cap, s, g, n)
+
+
+def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int) -> Pair:
+    """Roll + mask each tile into its 4 N×N block-aligned pieces (device).
+
+    Piece q·S+s for quadrant q=(qy,qx) is tile s rolled so element (y, x)
+    sits at its in-block position, masked to the rows/cols that land in
+    block (by+qy, bx+qx). Quadrant order matches plan_grid_add's ids."""
     re, im = sub
     s, p, n, _ = re.shape
     g = grid_size
-    bw = block_w
-    nby = g // n
-    nbx = g // bw
-    assert g % n == 0, "grid_size must be a multiple of subgrid_size"
-    assert g % bw == 0, "grid_size must be a multiple of the block width"
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
-    by, bx = cy // n, cx // bw
-    oy, ox = cy % n, cx % bw
-
-    # roll each tile into its [n, bw] window:
-    #   rolled[(oy+y)%n, (ox+x)%bw] = t[y, x]
-    # (x-pad the tile to bw with zeros so out-of-extent columns read 0)
-    rows = (jnp.arange(n, dtype=jnp.int32)[None, :] - oy[:, None]) % n  # [S, n]
-    cols = (jnp.arange(bw, dtype=jnp.int32)[None, :] - ox[:, None]) % bw
-    re_p = jnp.pad(re, ((0, 0), (0, 0), (0, 0), (0, bw - n))) if bw > n else re
-    im_p = jnp.pad(im, ((0, 0), (0, 0), (0, 0), (0, bw - n))) if bw > n else im
-    rolled_re = re_p[
-        jnp.arange(s)[:, None, None, None],
-        jnp.arange(p)[None, :, None, None],
-        rows[:, None, :, None],
-        cols[:, None, None, :],
-    ]
-    rolled_im = im_p[
-        jnp.arange(s)[:, None, None, None],
-        jnp.arange(p)[None, :, None, None],
-        rows[:, None, :, None],
-        cols[:, None, None, :],
-    ]
-    # quadrant masks on the rolled positions
+    oy, ox = cy % n, cx % n
+    rows = (jnp.arange(n, dtype=jnp.int32)[None, :] - oy[:, None]) % n
+    cols = (jnp.arange(n, dtype=jnp.int32)[None, :] - ox[:, None]) % n
+    six = jnp.arange(s)[:, None, None, None]
+    pix = jnp.arange(p)[None, :, None, None]
+    rolled_re = re[six, pix, rows[:, None, :, None], cols[:, None, None, :]]
+    rolled_im = im[six, pix, rows[:, None, :, None], cols[:, None, None, :]]
     row_hi = jnp.arange(n, dtype=jnp.int32)[None, :] >= oy[:, None]
-    col_hi = jnp.arange(bw, dtype=jnp.int32)[None, :] >= ox[:, None]
-    pieces_re, pieces_im, ids = [], [], []
+    col_hi = jnp.arange(n, dtype=jnp.int32)[None, :] >= ox[:, None]
+    pre, pim = [], []
     for qy in (0, 1):
         rmask = row_hi if qy == 0 else ~row_hi
         for qx in (0, 1):
             cmask = col_hi if qx == 0 else ~col_hi
-            m = (rmask[:, None, :, None] & cmask[:, None, None, :])
-            pieces_re.append(jnp.where(m, rolled_re, 0.0))
-            pieces_im.append(jnp.where(m, rolled_im, 0.0))
-            ids.append(((by + qy) % nby) * nbx + ((bx + qx) % nbx))
-    pieces_re = jnp.concatenate(pieces_re)         # [4S, P, n, bw]
-    pieces_im = jnp.concatenate(pieces_im)
-    ids = jnp.concatenate(ids)                     # [4S]
-
-    # sort by block id so Mosaic's output-block revisiting keeps each grid
-    # block VMEM-resident across its consecutive pieces
-    order = jnp.argsort(ids, stable=True)
-    ids = ids[order]
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (ids[1:] != ids[:-1]).astype(jnp.int32)]
-    )
-    return pieces_re[order], pieces_im[order], ids, first
+            m = rmask[:, None, :, None] & cmask[:, None, None, :]
+            pre.append(jnp.where(m, rolled_re, 0.0))
+            pim.append(jnp.where(m, rolled_im, 0.0))
+    return jnp.concatenate(pre), jnp.concatenate(pim)
 
 
-# Bound on the pieces buffer: chunk the subgrid batch so the staged
-# [4·chunk, P, N, 128] pieces stay ~1 GB (the aliased grid carries the
-# partial sum between chunk calls).
-GRID_ADD_CHUNK = 4096
+def _blocks_to_grid(blocks: Pair, plan: GridAddPlan, p: int,
+                    grid_in: Pair | None) -> Pair:
+    """Lay summed [NBp, P·N·N] blocks into the [P, G, G] grid (pure
+    reshape/transpose — blocks tile the grid exactly)."""
+    nby, nbx, n, g = plan.nby, plan.nbx, plan.subgrid_size, plan.grid_size
+    out = []
+    for i, v in enumerate(blocks):
+        gr = (v[:nby * nbx]
+              .reshape(nby, nbx, p, n, n)
+              .transpose(2, 0, 3, 1, 4)
+              .reshape(p, g, g))
+        if grid_in is not None:
+            gr = gr + grid_in[i]
+        out.append(gr)
+    return tuple(out)
+
+
+def subgrids_to_grid_bucketed(
+    sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
+    plan: GridAddPlan | None = None, grid_in: Pair | None = None,
+) -> Pair:
+    """Grid-add via the host slot plan + an XLA gather/reduce (dense,
+    scatter-free). Coordinates must be concrete (host) values — inside
+    traced code use subgrids_to_grid instead."""
+    if plan is None:
+        plan = plan_grid_add(coord_x, coord_y, grid_size, sub[0].shape[2])
+    if apply_fft:
+        sub = fft2_pair(fftshift2_pair(sub), inverse=True)
+        sub = fftshift2_pair(sub)
+    s, p, n, _ = sub[0].shape
+    pre, pim = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
+    d = p * n * n
+    slots = jnp.asarray(plan.slots)
+    blocks = []
+    for v in (pre, pim):
+        rows = jnp.concatenate([v.reshape(4 * s, d),
+                                jnp.zeros((1, d), v.dtype)])
+        blocks.append(rows[slots].sum(axis=1))
+    return _blocks_to_grid(tuple(blocks), plan, p, grid_in)
 
 
 def subgrids_to_grid_pallas(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
     interpret=None, grid_in: Pair | None = None,
+    plan: GridAddPlan | None = None,
 ) -> Pair:
-    """TPU-native grid-add: quadrant-piece staging + a Pallas kernel that
-    accumulates pieces into [N, 128]-aligned grid blocks selected by
-    scalar-prefetched block ids (128-wide blocks: Mosaic requires the
-    trailing block dim to be lane-divisible). Pieces are SORTED by block
-    id, so Mosaic's output-block revisiting keeps each block resident in
-    VMEM across its consecutive pieces — no XLA scatter, no
-    read-modify-write races (grid steps are sequential on the core).
+    """Grid-add with the cap-axis reduction as a Pallas kernel.
 
-    The output ALIASES `grid_in` (default: a fresh zero grid), so the
-    kernel ACCUMULATES into an existing grid — production-IDG semantics for
-    multi-pass imaging — and blocks with no pieces cost nothing: only each
-    visited block's first piece reads the aliased grid block. Large subgrid
-    batches are chunked (GRID_ADD_CHUNK) with the partial sum riding the
-    alias between chunk calls."""
+    Same host slot plan as subgrids_to_grid_bucketed; pieces are
+    pre-permuted into slot order with one XLA gather, then the kernel is a
+    plain blocked sum with STATIC index maps — (block-row-octet i,
+    cap-chunk j) → piece block (i, j), output block i revisited across j —
+    so Mosaic double-buffers the piece stream at full DMA bandwidth.
+    (The previous design — one grid step per piece with a data-dependent
+    output block — measured 39–135 µs/step: a data-dependent output index
+    map defeats the pipeliner and the grid-step overhead swamps the 16 KB
+    of useful DMA. Negative result recorded in BASELINE.md.)"""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from .pallas.common import use_interpret
 
+    if interpret is None:
+        interpret = use_interpret()
+    if plan is None:
+        plan = plan_grid_add(coord_x, coord_y, grid_size, sub[0].shape[2])
     if apply_fft:
         sub = fft2_pair(fftshift2_pair(sub), inverse=True)
         sub = fftshift2_pair(sub)
     s, p, n, _ = sub[0].shape
-    g = grid_size
-    bw = min(128, g)
-    nbx = g // bw
-    if interpret is None:
-        interpret = use_interpret()
-    if grid_in is None:
-        grid_in = (
-            jnp.zeros((p, g, g), jnp.float32),
-            jnp.zeros((p, g, g), jnp.float32),
+    d = p * n * n
+    if d % 128:
+        # Mosaic lane blocking needs the flattened piece row 128-divisible;
+        # odd shapes take the XLA reduction instead.
+        return subgrids_to_grid_bucketed(
+            sub, coord_x, coord_y, grid_size, apply_fft=False,
+            plan=plan, grid_in=grid_in,
         )
+    pre, pim = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
+    nbp, cap = plan.slots.shape
+    capc = min(cap, 8)
+    flat = jnp.asarray(plan.slots.reshape(-1))
 
-    def kernel(ids_ref, first_ref, pre_ref, pim_ref, gr_ref, gi_ref,
-               outr_ref, outi_ref):
-        i = pl.program_id(0)
+    def kernel(x_ref, o_ref):
+        part = jnp.sum(x_ref[0], axis=1)            # [8, capc, d] → [8, d]
 
-        @pl.when(first_ref[i] != 0)
+        @pl.when(pl.program_id(1) == 0)
         def _init():
-            outr_ref[...] = gr_ref[...] + pre_ref[0]
-            outi_ref[...] = gi_ref[...] + pim_ref[0]
+            o_ref[...] = part[None]
 
-        @pl.when(first_ref[i] == 0)
+        @pl.when(pl.program_id(1) != 0)
         def _acc():
-            outr_ref[...] += pre_ref[0]
-            outi_ref[...] += pim_ref[0]
+            o_ref[...] += part[None]
 
-    block_idx = lambda i, ids, first: (0, ids[i] // nbx, ids[i] % nbx)
-    grid_block = pl.BlockSpec((p, n, bw), block_idx, memory_space=pltpu.VMEM)
-
-    def one_chunk(sub_c: Pair, cx_c, cy_c, grid_pair: Pair) -> Pair:
-        pre, pim, ids, first = _quadrant_pieces(sub_c, cy_c, cx_c, g, bw)
-        total = pre.shape[0]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(total,),
-            in_specs=[
-                pl.BlockSpec((1, p, n, bw), lambda i, ids, first: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, p, n, bw), lambda i, ids, first: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                grid_block,
-                grid_block,
-            ],
-            out_specs=(grid_block, grid_block),
-        )
-        out_shape = (
-            jax.ShapeDtypeStruct((p, g, g), jnp.float32),
-            jax.ShapeDtypeStruct((p, g, g), jnp.float32),
-        )
-        return pl.pallas_call(
-            kernel, grid_spec=grid_spec, out_shape=out_shape,
+    blocks = []
+    for v in (pre, pim):
+        rows = jnp.concatenate([v.reshape(4 * s, d),
+                                jnp.zeros((1, d), v.dtype)])
+        ordered = rows[flat].reshape(nbp // 8, 8, cap, d)
+        out = pl.pallas_call(
+            kernel,
+            grid=(nbp // 8, cap // capc),
+            in_specs=[pl.BlockSpec((1, 8, capc, d),
+                                   lambda i, j: (i, 0, j, 0))],
+            out_specs=pl.BlockSpec((1, 8, d), lambda i, j: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nbp // 8, 8, d), jnp.float32),
             interpret=interpret,
-            input_output_aliases={4: 0, 5: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(ids, first, pre, pim, grid_pair[0], grid_pair[1])
-
-    grid_pair = grid_in
-    for lo in range(0, s, GRID_ADD_CHUNK):
-        hi = min(lo + GRID_ADD_CHUNK, s)
-        grid_pair = one_chunk(
-            (sub[0][lo:hi], sub[1][lo:hi]),
-            coord_x[lo:hi], coord_y[lo:hi], grid_pair,
-        )
-    return grid_pair
+        )(ordered)
+        blocks.append(out.reshape(nbp, d))
+    return _blocks_to_grid(tuple(blocks), plan, p, grid_in)

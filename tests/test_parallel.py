@@ -295,10 +295,10 @@ def test_grid_add_pallas_accumulates_into_existing_grid(small_params):
     )
 
 
-def test_grid_add_pallas_chunked_matches_unchunked(monkeypatch):
-    """The subgrid-batch chunking (pieces buffer bound) carries the partial
-    sum across chunk calls through the grid alias — results must match the
-    single-chunk path exactly."""
+def test_grid_add_bucketed_matches_scatter():
+    """The host-planned bucketed gather/reduce (the dense, scatter-free
+    grid-add) agrees with the windowed-scatter path, including wrapping
+    edge tiles, and a precomputed plan is reusable across subgrid data."""
     import jax.numpy as jnp
 
     import idg_tpu.ops.grid as gridmod
@@ -311,17 +311,28 @@ def test_grid_add_pallas_chunked_matches_unchunked(monkeypatch):
     )
     cx = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
     cy = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
-    ref = gridmod.subgrids_to_grid_pallas(
-        sub, cx, cy, g, apply_fft=False, interpret=True
-    )
-    monkeypatch.setattr(gridmod, "GRID_ADD_CHUNK", 4)  # 4 chunks for S=13
-    got = gridmod.subgrids_to_grid_pallas(
-        sub, cx, cy, g, apply_fft=False, interpret=True
-    )
-    # chunking reorders the f32 piece summation (partial sums cross chunk
-    # boundaries) — equal up to rounding, not bitwise
+    ref = gridmod.subgrids_to_grid(sub, cx, cy, g, apply_fft=False)
+    got = gridmod.subgrids_to_grid_bucketed(sub, cx, cy, g, apply_fft=False)
+    # bucketing reorders the f32 summation — equal up to rounding
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-6)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-6)
+
+    # plan reuse: same coords, fresh data, grid_in accumulation
+    plan = gridmod.plan_grid_add(cx, cy, g, n)
+    assert plan.slot_inflation >= 1.0
+    sub2 = (sub[1], sub[0])
+    base = (jnp.full((p, g, g), 2.0, jnp.float32),
+            jnp.full((p, g, g), -1.0, jnp.float32))
+    ref2 = gridmod.subgrids_to_grid(sub2, cx, cy, g, apply_fft=False)
+    got2 = gridmod.subgrids_to_grid_bucketed(
+        sub2, cx, cy, g, apply_fft=False, plan=plan, grid_in=base
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2[0]), np.asarray(ref2[0]) + 2.0, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2[1]), np.asarray(ref2[1]) - 1.0, atol=2e-6
+    )
 
 
 def test_grid_gather_wraps(small_params):
