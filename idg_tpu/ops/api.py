@@ -376,17 +376,20 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         # of launches whose buffers all coexist on a memory-tight device.
         del stg, sub_pair
 
-        # The timed fn returns a 1-element slice of each chunk result (the
-        # full [MAX_CHUNK, P, V] outputs become XLA temps inside the
-        # executable instead of persistent per-launch output buffers).
+        # The timed fn returns a leading-axis slice of each chunk result
+        # (the full [MAX_CHUNK, T, C, P] outputs become XLA temps inside
+        # the executable instead of persistent per-launch output buffers).
         # The timing window dispatches its iterations asynchronously, so
         # with full outputs every queued launch holds ~0.5 GB — at window
         # depth ~8 that alone OOMed fullsize runs. Slicing inside jit
         # cannot dead-code the pallas_call (opaque), so the timed work is
-        # unchanged.
+        # unchanged. Slice ONLY the leading subgrid axis: hardware A/B
+        # (probe5) showed x[:1] keeps full kernel speed while x[:1,:1,:1]
+        # made the identical kernel 2.2× slower (XLA re-fuses/relayouts
+        # the output transpose chain when the minor dims are sliced too).
         def _slim(p, stg_c, sub_c):
             out = run_fn(p, stg_c, sub_c)
-            return jax.tree_util.tree_map(lambda x: x[:1, :1, :1], out)
+            return jax.tree_util.tree_map(lambda x: x[:1], out)
 
         run_slim = jax.jit(_slim, static_argnums=0)
 

@@ -312,17 +312,24 @@ def subgrids_to_grid_pallas(
     interpret=None, grid_in: Pair | None = None,
     plan: GridAddPlan | None = None,
 ) -> Pair:
-    """Grid-add with the cap-axis reduction as a Pallas kernel.
+    """Grid-add with the slot reduction as a DMA-pipelined Pallas kernel.
 
-    Same host slot plan as subgrids_to_grid_bucketed; pieces are
-    pre-permuted into slot order with one XLA gather, then the kernel is a
-    plain blocked sum with STATIC index maps — (block-row-octet i,
-    cap-chunk j) → piece block (i, j), output block i revisited across j —
-    so Mosaic double-buffers the piece stream at full DMA bandwidth.
-    (The previous design — one grid step per piece with a data-dependent
-    output block — measured 39–135 µs/step: a data-dependent output index
-    map defeats the pipeliner and the grid-step overhead swamps the 16 KB
-    of useful DMA. Negative result recorded in BASELINE.md.)"""
+    Same host slot plan as subgrids_to_grid_bucketed, but the irregular
+    piece gather runs INSIDE the kernel: pieces stay in HBM ([4S+pad, D]
+    rows); each grid step owns an octet of 8 output blocks, DMAs its
+    [8, cap] slot row into SMEM, then streams the slot-indexed piece rows
+    HBM→VMEM through an 8-deep async-copy ring while the VPU accumulates
+    into an [8, D] scratch. Sentinel slots (padding) are clamped to row 0
+    and masked out of the accumulate — DMAs stay unconditional so
+    start/wait pairing is static.
+
+    Why not XLA for the reduction: a lax gather of slot rows is
+    latency-bound at ~20 µs/row on this platform (measured 2.8 s at the
+    default problem — same pathology as lax.scatter_add windows). And the
+    previous Pallas design — one grid step per piece with a data-dependent
+    OUTPUT block — measured 39–135 µs/step (data-dependent output index
+    maps defeat Mosaic's pipeliner). Manual in-kernel DMA with static
+    output blocks is the formulation that lets the hardware stream."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -346,36 +353,80 @@ def subgrids_to_grid_pallas(
         )
     pre, pim = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
     nbp, cap = plan.slots.shape
-    capc = min(cap, 8)
-    flat = jnp.asarray(plan.slots.reshape(-1))
+    m = 4 * s
+    # Raw slot table (sentinel = m); the kernel clamps sentinel reads to
+    # row 0 and masks them out of the accumulate. No zero row is appended
+    # to the piece buffer (no 1.6 GB concat copy).
+    slots_dev = jnp.asarray(plan.slots)
+    nbuf = 8
+    total = 8 * cap
 
-    def kernel(x_ref, o_ref):
-        part = jnp.sum(x_ref[0], axis=1)            # [8, capc, d] → [8, d]
+    def kernel(slots_hbm, rows_hbm, o_ref, acc, bufs, smem_slots,
+               slot_sem, sems):
+        i = pl.program_id(0)
+        # this octet's slot rows [8, cap] into SMEM (one small DMA)
+        sl = pltpu.make_async_copy(
+            slots_hbm.at[pl.ds(i * 8, 8)], smem_slots, slot_sem
+        )
+        sl.start()
+        sl.wait()
+        acc[...] = jnp.zeros((8, d), jnp.float32)
 
-        @pl.when(pl.program_id(1) == 0)
-        def _init():
-            o_ref[...] = part[None]
+        def dma(buf_slot, t):
+            b = t // cap
+            j = lax.rem(t, cap)
+            idx = jnp.minimum(smem_slots[b, j], m - 1)
+            return pltpu.make_async_copy(
+                rows_hbm.at[pl.ds(idx, 1)],
+                bufs.at[buf_slot],
+                sems.at[buf_slot],
+            )
 
-        @pl.when(pl.program_id(1) != 0)
-        def _acc():
-            o_ref[...] += part[None]
+        for t0 in range(min(nbuf, total)):
+            dma(t0, t0).start()
+
+        def body(t, _):
+            cur = lax.rem(t, nbuf)
+            dma(cur, t).wait()
+            b = t // cap
+            j = lax.rem(t, cap)
+            w = jnp.where(smem_slots[b, j] < m, 1.0, 0.0)
+            row = bufs[pl.ds(cur, 1), 0, :]
+            acc[pl.ds(b, 1), :] = acc[pl.ds(b, 1), :] + w * row
+
+            # refill this ring slot only AFTER its data is consumed
+            @pl.when(t + nbuf < total)
+            def _next():
+                dma(cur, t + nbuf).start()
+
+            return 0
+
+        lax.fori_loop(0, total, body, 0)
+        o_ref[...] = acc[...][None]
 
     blocks = []
     for v in (pre, pim):
-        rows = jnp.concatenate([v.reshape(4 * s, d),
-                                jnp.zeros((1, d), v.dtype)])
-        ordered = rows[flat].reshape(nbp // 8, 8, cap, d)
+        rows = v.reshape(m, d)
         out = pl.pallas_call(
             kernel,
-            grid=(nbp // 8, cap // capc),
-            in_specs=[pl.BlockSpec((1, 8, capc, d),
-                                   lambda i, j: (i, 0, j, 0))],
-            out_specs=pl.BlockSpec((1, 8, d), lambda i, j: (i, 0, 0)),
+            grid=(nbp // 8,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # slot table (HBM)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # piece rows (HBM)
+            ],
+            out_specs=pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((nbp // 8, 8, d), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((8, d), jnp.float32),          # acc
+                pltpu.VMEM((nbuf, 1, d), jnp.float32),    # DMA ring
+                pltpu.SMEM((8, cap), jnp.int32),          # slot octet
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(ordered)
+        )(slots_dev, rows)
         blocks.append(out.reshape(nbp, d))
     return _blocks_to_grid(tuple(blocks), plan, p, grid_in)
