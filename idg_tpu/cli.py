@@ -276,30 +276,39 @@ def cmd_grid(args) -> int:
         sub = jax.device_put(split_complex(initialize_subgrids(
             params.nr_subgrids, params.nr_correlations, n
         )))
-        if args.method == "scatter":
-            fn = jax.jit(
-                lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
-            )
-            name = "grid_add_scatter"
-        else:
+        method = args.method
+        plan = None
+        if method != "scatter":
             # bucketed paths: routing planned once on the host from the
             # (host-known) metadata coordinates; hot path is dense.
-            from .ops.grid import (
-                plan_grid_add, subgrids_to_grid_bucketed,
-                subgrids_to_grid_pallas,
-            )
+            from .ops.grid import plan_grid_add
 
             plan = plan_grid_add(md.coord_x, md.coord_y, g, n)
             print(f"grid-add plan: {plan.nby}x{plan.nbx} blocks, cap "
                   f"{plan.cap}, slot inflation {plan.slot_inflation:.2f}x")
-            if args.method == "pallas":
-                fn = jax.jit(lambda s, x, y: subgrids_to_grid_pallas(
-                    s, x, y, g, apply_fft, plan=plan))
-                name = "grid_add_pallas"
-            else:
-                fn = jax.jit(lambda s, x, y: subgrids_to_grid_bucketed(
-                    s, x, y, g, apply_fft, plan=plan))
-                name = "grid_add"
+            if method == "auto":
+                # sparse plans (large grids, few subgrids per block) waste
+                # most slots on sentinel padding — the windowed scatter
+                # wins there; the DMA-pipelined Pallas reduction wins on
+                # dense plans (default problem: inflation 1.5x).
+                method = "pallas" if plan.slot_inflation <= 4.0 else "scatter"
+                print(f"grid-add auto -> {method}")
+        if method == "scatter":
+            fn = jax.jit(
+                lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
+            )
+        elif method == "pallas":
+            from .ops.grid import subgrids_to_grid_pallas
+
+            fn = jax.jit(lambda s, x, y: subgrids_to_grid_pallas(
+                s, x, y, g, apply_fft, plan=plan))
+        else:
+            from .ops.grid import subgrids_to_grid_bucketed
+
+            fn = jax.jit(lambda s, x, y: subgrids_to_grid_bucketed(
+                s, x, y, g, apply_fft, plan=plan))
+        name = ("grid_add" if args.method == "auto"
+                else f"grid_add_{args.method}")
         fargs = (sub, cx, cy)
         name += args.suffix
     else:
@@ -462,12 +471,14 @@ def main(argv=None) -> int:
                         default="to-grid")
     p_grid.add_argument("--no-fft", action="store_true",
                         help="scatter/gather only (skip the subgrid DFT)")
-    p_grid.add_argument("--method", choices=["bucket", "scatter", "pallas"],
-                        default="bucket",
-                        help="to-grid accumulation: host-planned bucketed "
-                             "gather/reduce (default; 'pallas' runs the "
-                             "reduction as a Pallas kernel) or the generic "
-                             "XLA windowed scatter")
+    p_grid.add_argument("--method",
+                        choices=["auto", "bucket", "scatter", "pallas"],
+                        default="auto",
+                        help="to-grid accumulation: auto picks the "
+                             "DMA-pipelined Pallas slot reduction on dense "
+                             "plans and the XLA windowed scatter on sparse "
+                             "ones; bucket = XLA gather/reduce (slow on "
+                             "TPU, kept for comparison)")
     p_grid.add_argument("--suffix", default="",
                         help="extra CSV/report name suffix (e.g. _8192)")
     p_grid.set_defaults(fn=cmd_grid)

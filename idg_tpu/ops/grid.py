@@ -240,21 +240,32 @@ def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int) -> Pair:
 
     Piece q·S+s for quadrant q=(qy,qx) is tile s rolled so element (y, x)
     sits at its in-block position, masked to the rows/cols that land in
-    block (by+qy, bx+qx). Quadrant order matches plan_grid_add's ids."""
+    block (by+qy, bx+qx). Quadrant order matches plan_grid_add's ids.
+
+    The per-tile cyclic roll is a PERMUTATION MATMUL (rolled = R·t·Cᵀ with
+    one-hot R/C built by iota comparison) — MXU work, exact in f32 (one
+    nonzero per output row ⇒ no accumulation). The advanced-indexing
+    formulation lowered to an XLA gather that measured 3.3 s at the
+    default problem (~latency-bound per element, like every dynamic-index
+    op on this platform); the matmul form is a few GFLOP."""
     re, im = sub
     s, p, n, _ = re.shape
     g = grid_size
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
     oy, ox = cy % n, cx % n
-    rows = (jnp.arange(n, dtype=jnp.int32)[None, :] - oy[:, None]) % n
-    cols = (jnp.arange(n, dtype=jnp.int32)[None, :] - ox[:, None]) % n
-    six = jnp.arange(s)[:, None, None, None]
-    pix = jnp.arange(p)[None, :, None, None]
-    rolled_re = re[six, pix, rows[:, None, :, None], cols[:, None, None, :]]
-    rolled_im = im[six, pix, rows[:, None, :, None], cols[:, None, None, :]]
-    row_hi = jnp.arange(n, dtype=jnp.int32)[None, :] >= oy[:, None]
-    col_hi = jnp.arange(n, dtype=jnp.int32)[None, :] >= ox[:, None]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # rolled[i, j] = t[(i-oy) % n, (j-ox) % n]
+    #   rows: R[s, i, y] = 1 ⟺ (i - y) % n == oy_s ; rolled_r = R @ t
+    #   cols: C[s, x, j] = 1 ⟺ (j - x) % n == ox_s ; rolled = rolled_r @ C
+    diff = (iota[:, None] - iota[None, :]) % n            # [n, n] = i - y
+    rmat = (diff[None] == oy[:, None, None]).astype(re.dtype)   # [S, n, n]
+    cmat = ((-diff)[None] % n == ox[:, None, None]).astype(re.dtype)
+    kw = dict(precision="highest", preferred_element_type=jnp.float32)
+    rolled_re = jnp.einsum("siy,spyx,sxj->spij", rmat, re, cmat, **kw)
+    rolled_im = jnp.einsum("siy,spyx,sxj->spij", rmat, im, cmat, **kw)
+    row_hi = iota[None, :] >= oy[:, None]
+    col_hi = iota[None, :] >= ox[:, None]
     pre, pim = [], []
     for qy in (0, 1):
         rmask = row_hi if qy == 0 else ~row_hi
