@@ -293,7 +293,19 @@ def cmd_grid(args) -> int:
                 # dense plans (default problem: inflation 1.5x).
                 method = "pallas" if plan.slot_inflation <= 4.0 else "scatter"
                 print(f"grid-add auto -> {method}")
-        if method == "scatter":
+        # full split-pair output bytes; one fused pass also holds several
+        # padded-plane temporaries, so past ~1/3 of a v5e's 16 GB HBM the
+        # per-plane-jit formulation is the one that completes (16384²
+        # full-pol OOMed fused: 8.6 GB output + transients)
+        out_gb = 2 * params.nr_correlations * g * g * 4 / 1e9
+        if method == "scatter" and out_gb > 5.0:
+            from .ops.grid import subgrids_to_grid_streamed
+
+            print(f"grid-add output {out_gb:.1f} GB -> streamed "
+                  f"per-plane scatter")
+            fn = lambda s, x, y: subgrids_to_grid_streamed(
+                s, x, y, g, apply_fft)
+        elif method == "scatter":
             fn = jax.jit(
                 lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)
             )

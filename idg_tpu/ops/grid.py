@@ -88,22 +88,27 @@ def _scatter_add_tiles(tiles, cy, cx, grid_size: int):
     s_count, p, n, _ = tiles.shape
     g = grid_size
     idx = jnp.stack([cy % g, cx % g], axis=-1)       # [S, 2]
+    planes = [_scatter_plane(tiles[:, pol], idx, g) for pol in range(p)]
+    return jnp.stack(planes)
+
+
+def _scatter_plane(tiles_p, idx, grid_size: int):
+    """One [S, N, N] plane scattered into a wrap-folded [G, G] grid."""
+    n = tiles_p.shape[-1]
+    g = grid_size
     dn = lax.ScatterDimensionNumbers(
         update_window_dims=(1, 2),
         inserted_window_dims=(),
         scatter_dims_to_operand_dims=(0, 1),
     )
-    planes = []
-    for pol in range(p):
-        padded = jnp.zeros((g + n, g + n), tiles.dtype)
-        padded = lax.scatter_add(
-            padded, idx, tiles[:, pol], dn,
-            indices_are_sorted=False, unique_indices=False,
-        )
-        # fold x margin, then y margin (periodic wrap)
-        main = padded[:, :g].at[:, :n].add(padded[:, g:])
-        planes.append(main[:g, :].at[:n, :].add(main[g:, :]))
-    return jnp.stack(planes)
+    padded = jnp.zeros((g + n, g + n), tiles_p.dtype)
+    padded = lax.scatter_add(
+        padded, idx, tiles_p, dn,
+        indices_are_sorted=False, unique_indices=False,
+    )
+    # fold x margin, then y margin (periodic wrap)
+    main = padded[:, :g].at[:, :n].add(padded[:, g:])
+    return main[:g, :].at[:n, :].add(main[g:, :])
 
 
 def subgrids_to_grid(
@@ -124,6 +129,41 @@ def subgrids_to_grid(
     cx = coord_x.astype(jnp.int32)
     return tuple(
         _scatter_add_tiles(v, cy, cx, grid_size) for v in sub
+    )
+
+
+@lru_cache(maxsize=None)
+def _streamed_fns(grid_size: int):
+    fft = jax.jit(
+        lambda s: fftshift2_pair(fft2_pair(fftshift2_pair(s), inverse=True))
+    )
+    plane = jax.jit(lambda t, i: _scatter_plane(t, i, grid_size))
+    return fft, plane
+
+
+def subgrids_to_grid_streamed(
+    sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True
+):
+    """subgrids_to_grid for grids near HBM capacity: each (component, pol)
+    plane is scattered in its OWN jit call, so XLA's buffer liveness is
+    scoped to one plane's transients at a time. A single fused pass at
+    16384² full-pol holds the 8.6 GB split-pair output plus several
+    padded-plane temporaries and exhausts the 16 GB of a v5e chip; this
+    formulation peaks at completed-planes + one plane's scratch.
+
+    Returns (tuple of P re-planes, tuple of P im-planes), each [G, G] —
+    deliberately NOT stacked into [P, G, G]: the stack would be one more
+    full-grid copy, which is exactly what OOMs at this scale."""
+    fft, plane = _streamed_fns(grid_size)
+    if apply_fft:
+        sub = fft(sub)
+    g = grid_size
+    idx = jnp.stack([
+        coord_y.astype(jnp.int32) % g, coord_x.astype(jnp.int32) % g
+    ], axis=-1)
+    p = sub[0].shape[1]
+    return tuple(
+        tuple(plane(v[:, pol], idx) for pol in range(p)) for v in sub
     )
 
 
@@ -321,26 +361,30 @@ def subgrids_to_grid_bucketed(
 def subgrids_to_grid_pallas(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
     interpret=None, grid_in: Pair | None = None,
-    plan: GridAddPlan | None = None,
+    plan: GridAddPlan | None = None, rows_per_step: int = 8,
 ) -> Pair:
-    """Grid-add with the slot reduction as a DMA-pipelined Pallas kernel.
+    """Grid-add with the slot reduction as a scalar-prefetch-gather Pallas
+    kernel.
 
     Same host slot plan as subgrids_to_grid_bucketed, but the irregular
-    piece gather runs INSIDE the kernel: pieces stay in HBM ([4S+pad, D]
-    rows); each grid step owns an octet of 8 output blocks, DMAs its
-    [8, cap] slot row into SMEM, then streams the slot-indexed piece rows
-    HBM→VMEM through an 8-deep async-copy ring while the VPU accumulates
-    into an [8, D] scratch. Sentinel slots (padding) are clamped to row 0
-    and masked out of the accumulate — DMAs stay unconditional so
-    start/wait pairing is static.
+    piece gather runs through data-dependent INPUT BlockSpec index maps:
+    the slot table rides in SMEM as a scalar-prefetch arg, the grid is
+    (block, cap/K), and each step's K row inputs map to the slot-indexed
+    piece rows — Mosaic's pipeliner then streams the (dynamic-offset) row
+    DMAs double-buffered while the body does K masked adds into the
+    revisited output block. Sentinel slots are clamped to the last row in
+    the index map and masked out of the accumulate in the body.
 
-    Why not XLA for the reduction: a lax gather of slot rows is
-    latency-bound at ~20 µs/row on this platform (measured 2.8 s at the
-    default problem — same pathology as lax.scatter_add windows). And the
-    previous Pallas design — one grid step per piece with a data-dependent
-    OUTPUT block — measured 39–135 µs/step (data-dependent output index
-    maps defeat Mosaic's pipeliner). Manual in-kernel DMA with static
-    output blocks is the formulation that lets the hardware stream."""
+    Why this exact formulation (all alternatives measured on v5e/axon):
+    - lax gather of slot rows: latency-bound ~20 µs/row (2.8 s/pass).
+    - lax.scatter_add windows: ~13 µs/window (333 ms/pass).
+    - Pallas with data-dependent OUTPUT blocks: 39-135 µs/step (defeats
+      the pipeliner's block revisiting).
+    - Manual make_async_copy with DATA-DEPENDENT source offsets: crashes
+      this platform's Mosaic compile helper outright (subprocess exit 1;
+      static-offset manual DMA compiles fine — bisected 2026-08-17).
+    Data-dependent input index maps are the one dynamic-gather construct
+    this toolchain both accepts and pipelines."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -365,79 +409,59 @@ def subgrids_to_grid_pallas(
     pre, pim = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
     nbp, cap = plan.slots.shape
     m = 4 * s
-    # Raw slot table (sentinel = m); the kernel clamps sentinel reads to
-    # row 0 and masks them out of the accumulate. No zero row is appended
-    # to the piece buffer (no 1.6 GB concat copy).
-    slots_dev = jnp.asarray(plan.slots)
-    nbuf = 8
-    total = 8 * cap
+    K = rows_per_step
+    cap_k = -(-cap // K)
+    slots_h = plan.slots
+    if cap_k * K != cap:
+        slots_h = np.pad(slots_h, ((0, 0), (0, cap_k * K - cap)),
+                         constant_values=m)
+    slots_dev = jnp.asarray(slots_h.reshape(-1))     # [nbp · cap_k · K]
+    capp = cap_k * K
 
-    def kernel(slots_hbm, rows_hbm, o_ref, acc, bufs, smem_slots,
-               slot_sem, sems):
+    def kernel(slots_ref, *refs):
+        row_refs = refs[:K]
+        o_ref = refs[K]
         i = pl.program_id(0)
-        # this octet's slot rows [8, cap] into SMEM (one small DMA)
-        sl = pltpu.make_async_copy(
-            slots_hbm.at[pl.ds(i * 8, 8)], smem_slots, slot_sem
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        acc = o_ref[...]
+        for k in range(K):
+            w = jnp.where(
+                slots_ref[(i * cap_k + j) * K + k] < m, 1.0, 0.0
+            ).astype(jnp.float32)
+            acc = acc + w * row_refs[k][...]
+        o_ref[...] = acc
+
+    def row_spec(k):
+        return pl.BlockSpec(
+            (1, d),
+            lambda i, j, slots, k=k: (
+                jnp.minimum(slots[(i * cap_k + j) * K + k], m - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
         )
-        sl.start()
-        sl.wait()
-        acc[...] = jnp.zeros((8, d), jnp.float32)
 
-        def dma(buf_slot, t):
-            b = t // cap
-            j = lax.rem(t, cap)
-            idx = jnp.minimum(smem_slots[b, j], m - 1)
-            return pltpu.make_async_copy(
-                rows_hbm.at[pl.ds(idx, 1)],
-                bufs.at[buf_slot],
-                sems.at[buf_slot],
-            )
-
-        for t0 in range(min(nbuf, total)):
-            dma(t0, t0).start()
-
-        def body(t, _):
-            cur = lax.rem(t, nbuf)
-            dma(cur, t).wait()
-            b = t // cap
-            j = lax.rem(t, cap)
-            w = jnp.where(smem_slots[b, j] < m, 1.0, 0.0)
-            row = bufs[pl.ds(cur, 1), 0, :]
-            acc[pl.ds(b, 1), :] = acc[pl.ds(b, 1), :] + w * row
-
-            # refill this ring slot only AFTER its data is consumed
-            @pl.when(t + nbuf < total)
-            def _next():
-                dma(cur, t + nbuf).start()
-
-            return 0
-
-        lax.fori_loop(0, total, body, 0)
-        o_ref[...] = acc[...][None]
-
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbp, cap_k),
+        in_specs=[row_spec(k) for k in range(K)],
+        out_specs=pl.BlockSpec((1, d), lambda i, j, *_: (i, 0)),
+    )
     blocks = []
     for v in (pre, pim):
         rows = v.reshape(m, d)
         out = pl.pallas_call(
             kernel,
-            grid=(nbp // 8,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),   # slot table (HBM)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # piece rows (HBM)
-            ],
-            out_specs=pl.BlockSpec((1, 8, d), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((nbp // 8, 8, d), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((8, d), jnp.float32),          # acc
-                pltpu.VMEM((nbuf, 1, d), jnp.float32),    # DMA ring
-                pltpu.SMEM((8, cap), jnp.int32),          # slot octet
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((nbuf,)),
-            ],
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nbp, d), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
-        )(slots_dev, rows)
-        blocks.append(out.reshape(nbp, d))
+        )(slots_dev, *([rows] * K))
+        blocks.append(out)
     return _blocks_to_grid(tuple(blocks), plan, p, grid_in)

@@ -262,6 +262,31 @@ def test_grid_wrap_and_pallas_agree(small_params):
     )
 
 
+def test_grid_add_streamed_matches_fused(small_params):
+    """The per-plane-jit streamed scatter (the HBM-capacity formulation
+    used at 16384²) produces exactly the fused path's planes."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.grid import subgrids_to_grid, subgrids_to_grid_streamed
+
+    rng = np.random.default_rng(3)
+    s, p, n, g = 17, 4, 16, 64
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    cx = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
+    cy = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
+    fused = subgrids_to_grid(sub, cx, cy, g, apply_fft=True)
+    planes = subgrids_to_grid_streamed(sub, cx, cy, g, apply_fft=True)
+    for comp in range(2):
+        for pol in range(p):
+            np.testing.assert_allclose(
+                np.asarray(planes[comp][pol]),
+                np.asarray(fused[comp][pol]), atol=1e-5,
+            )
+
+
 def test_grid_add_pallas_accumulates_into_existing_grid(small_params):
     """The Pallas grid-add aliases its grid input: untouched blocks keep
     the donated grid's content and visited blocks accumulate onto it
