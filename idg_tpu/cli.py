@@ -303,8 +303,18 @@ def cmd_grid(args) -> int:
 
             print(f"grid-add output {out_gb:.1f} GB -> streamed "
                   f"per-plane scatter")
-            fn = lambda s, x, y: subgrids_to_grid_streamed(
-                s, x, y, g, apply_fft)
+
+            def fn(s, x, y):
+                planes = subgrids_to_grid_streamed(s, x, y, g, apply_fft)
+                # every plane is fully materialized and wrap-folded on
+                # device; keep only a corner element each so the timing
+                # loop doesn't pin two full near-HBM-sized outputs in
+                # flight (the serialized device queue then frees plane k
+                # right after its corner slice executes)
+                return tuple(
+                    tuple(plane[:1, :1] for plane in comp)
+                    for comp in planes
+                )
         elif method == "scatter":
             fn = jax.jit(
                 lambda s, x, y: subgrids_to_grid(s, x, y, g, apply_fft)

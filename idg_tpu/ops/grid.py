@@ -399,13 +399,16 @@ def subgrids_to_grid_pallas(
         sub = fftshift2_pair(sub)
     s, p, n, _ = sub[0].shape
     d = p * n * n
-    if d % 128:
-        # Mosaic lane blocking needs the flattened piece row 128-divisible;
+    if d % 1024:
+        # rows ride as [m, 8, d/8] so each gathered block is a full
+        # (8, d/8) tile (Mosaic requires trailing block dims equal to the
+        # array dims or (8,128)-divisible — a (1, d) block is rejected);
         # odd shapes take the XLA reduction instead.
         return subgrids_to_grid_bucketed(
             sub, coord_x, coord_y, grid_size, apply_fft=False,
             plan=plan, grid_in=grid_in,
         )
+    d8 = d // 8
     pre, pim = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
     nbp, cap = plan.slots.shape
     m = 4 * s
@@ -438,9 +441,9 @@ def subgrids_to_grid_pallas(
 
     def row_spec(k):
         return pl.BlockSpec(
-            (1, d),
+            (1, 8, d8),
             lambda i, j, slots, k=k: (
-                jnp.minimum(slots[(i * cap_k + j) * K + k], m - 1), 0
+                jnp.minimum(slots[(i * cap_k + j) * K + k], m - 1), 0, 0
             ),
             memory_space=pltpu.VMEM,
         )
@@ -449,19 +452,19 @@ def subgrids_to_grid_pallas(
         num_scalar_prefetch=1,
         grid=(nbp, cap_k),
         in_specs=[row_spec(k) for k in range(K)],
-        out_specs=pl.BlockSpec((1, d), lambda i, j, *_: (i, 0)),
+        out_specs=pl.BlockSpec((1, 8, d8), lambda i, j, *_: (i, 0, 0)),
     )
     blocks = []
     for v in (pre, pim):
-        rows = v.reshape(m, d)
+        rows = v.reshape(m, 8, d8)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((nbp, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((nbp, 8, d8), jnp.float32),
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
         )(slots_dev, *([rows] * K))
-        blocks.append(out)
+        blocks.append(out.reshape(nbp, d))
     return _blocks_to_grid(tuple(blocks), plan, p, grid_in)
