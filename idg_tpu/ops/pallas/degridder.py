@@ -759,6 +759,30 @@ def _polstack_dot(lhs_f32, rha, rhb, rh, mode):
     return d(l2, rha) + d(l2, rhb)
 
 
+def _polstack_dot_q(lhs_f32, rha, mode):
+    """A·B dot against a quadrant-assembled K-packed RHS (qsplit path).
+
+    rha: [4N, 2V] bf16 = [rh; rl] built directly from per-quadrant hi/lo
+    splits — rhb is never materialized: the second "3x2k" pass swaps the
+    halves of the TINY [4N, 4N] lhs instead
+    (d([lh|ll],[rl;rh]) ≡ d([ll|lh],[rh;rl]), same products, same f32
+    accumulation grouping → bit-identical to _polstack_dot)."""
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    k = lhs_f32.shape[1]
+    lh = lhs_f32.astype(jnp.bfloat16)
+    if mode == "default":
+        return d(lh, rha[:k])
+    ll = (lhs_f32 - lh.astype(jnp.float32)).astype(jnp.bfloat16)
+    l2a = jnp.concatenate([lh, ll], axis=1)
+    l2b = jnp.concatenate([ll, lh], axis=1)
+    return d(l2a, rha) + d(l2b, rha)
+
+
 def _degridder_polstack(params, sobs, subgrids, w_rank, precisions, interpret,
                         canonical=False):
     return _degridder_polstack_run(
@@ -861,7 +885,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
                            sub_re_ref, sub_im_ref, sph_ref,
                            *rest,
                            V, N, T, C, w_rank, precisions, batch, ablate="",
-                           cfold=False):
+                           cfold=False, qsplit=False):
     """v6's body unrolled over `batch` subgrids per grid step (see
     gridder pallas_v6 for the amortization rationale).
 
@@ -877,7 +901,17 @@ def _kernel_polstack_batch(aidx, st1, st2,
     round-3 ablation) runs ONCE per pol instead of once per (rank, pol).
     Mathematically identical (c_r is linear, applied before the reduction);
     the rank-r rhs is re-converted to bf16 after scaling, so the relative
-    rounding of the correction term is unchanged."""
+    rounding of the correction term is unchanged.
+
+    `qsplit=True` (round-3 VPU-diet schedule): the [2N, 2V] f32 RHS is
+    never materialized — the K-packed bf16 operand is assembled directly
+    from per-quadrant hi/lo splits of the Φx planes, and the second
+    "3x2k" pass reuses the SAME rha via the identity
+    d([lh|ll],[rl;rh]) = d([ll|lh],[rh;rl]) — swapping halves of the
+    tiny [4N, 4N] lhs instead of building the big [4N, 2V] rhb. Same
+    four split products in the same f32 accumulation grouping →
+    bit-identical results; saves ~18·N·V VPU op-equivalents per subgrid
+    of concat/convert traffic on a VPU-bound kernel."""
     at_refs = rest[:4 * batch]
     out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = rest[4 * batch:]
     sph = sph_ref[...]
@@ -927,17 +961,38 @@ def _kernel_polstack_batch(aidx, st1, st2,
         phx_re = phxr_s[...]
         phx_im = phxi_s[...]
 
-        rhs = jnp.concatenate(
-            [
-                jnp.concatenate([phx_re, -phx_im], axis=1),
-                jnp.concatenate([phx_im, phx_re], axis=1),
-            ],
-            axis=0,
-        )
-        rh = rhs.astype(jnp.bfloat16)
-        rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
-        rha = jnp.concatenate([rh, rl], axis=0)
-        rhb = jnp.concatenate([rl, rh], axis=0)
+        if qsplit:
+            xh_re = phx_re.astype(jnp.bfloat16)
+            xh_im = phx_im.astype(jnp.bfloat16)
+            xl_re = (phx_re - xh_re.astype(jnp.float32)).astype(jnp.bfloat16)
+            xl_im = (phx_im - xh_im.astype(jnp.float32)).astype(jnp.bfloat16)
+            rha = jnp.concatenate(
+                [
+                    jnp.concatenate([xh_re, -xh_im], axis=1),
+                    jnp.concatenate([xh_im, xh_re], axis=1),
+                    jnp.concatenate([xl_re, -xl_im], axis=1),
+                    jnp.concatenate([xl_im, xl_re], axis=1),
+                ],
+                axis=0,
+            )                                        # [4N, 2V] = [rh; rl]
+
+            def dot0(lhs_, mode_):
+                return _polstack_dot_q(lhs_, rha, mode_)
+        else:
+            rhs = jnp.concatenate(
+                [
+                    jnp.concatenate([phx_re, -phx_im], axis=1),
+                    jnp.concatenate([phx_im, phx_re], axis=1),
+                ],
+                axis=0,
+            )
+            rh = rhs.astype(jnp.bfloat16)
+            rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+            rha = jnp.concatenate([rh, rl], axis=0)
+            rhb = jnp.concatenate([rl, rh], axis=0)
+
+            def dot0(lhs_, mode_):
+                return _polstack_dot(lhs_, rha, rhb, rh, mode_)
         mu = mur_ref[b]
         rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
         rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
@@ -964,17 +1019,39 @@ def _kernel_polstack_batch(aidx, st1, st2,
                 # (general complex packing [[X're, X'im], [−X'im, X're]])
                 xre = phx_re * cr + phx_im * ci
                 xim = phx_re * ci - phx_im * cr
-                rhs_r = jnp.concatenate(
-                    [
-                        jnp.concatenate([xre, xim], axis=1),
-                        jnp.concatenate([-xim, xre], axis=1),
-                    ],
-                    axis=0,
-                )
-                rh_r = rhs_r.astype(jnp.bfloat16)
                 if mode == "default":
+                    rh_r = jnp.concatenate(
+                        [
+                            jnp.concatenate([xre, xim], axis=1),
+                            jnp.concatenate([-xim, xre], axis=1),
+                        ],
+                        axis=0,
+                    ).astype(jnp.bfloat16)
                     prod = _polstack_dot(lhs, None, None, rh_r, mode)
+                elif qsplit:
+                    qh_re = xre.astype(jnp.bfloat16)
+                    qh_im = xim.astype(jnp.bfloat16)
+                    ql_re = (xre - qh_re.astype(jnp.float32)).astype(jnp.bfloat16)
+                    ql_im = (xim - qh_im.astype(jnp.float32)).astype(jnp.bfloat16)
+                    rha_r = jnp.concatenate(
+                        [
+                            jnp.concatenate([qh_re, qh_im], axis=1),
+                            jnp.concatenate([-qh_im, qh_re], axis=1),
+                            jnp.concatenate([ql_re, ql_im], axis=1),
+                            jnp.concatenate([-ql_im, ql_re], axis=1),
+                        ],
+                        axis=0,
+                    )
+                    prod = _polstack_dot_q(lhs, rha_r, mode)
                 else:
+                    rhs_r = jnp.concatenate(
+                        [
+                            jnp.concatenate([xre, xim], axis=1),
+                            jnp.concatenate([-xim, xre], axis=1),
+                        ],
+                        axis=0,
+                    )
+                    rh_r = rhs_r.astype(jnp.bfloat16)
                     rl_r = (rhs_r - rh_r.astype(jnp.float32)).astype(jnp.bfloat16)
                     prod = _polstack_dot(
                         lhs,
@@ -983,7 +1060,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
                         rh_r, mode,
                     )
             else:
-                prod = _polstack_dot(lhs, rha, rhb, rh, mode)
+                prod = dot0(lhs, mode)
             if cfold:
                 prod_acc = prod if prod_acc is None else prod_acc + prod
                 continue
@@ -1021,7 +1098,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
 
 def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
                                   interpret, batch: int = 4, ablate: str = "",
-                                  cfold: bool = False):
+                                  cfold: bool = False, qsplit: bool = False):
     import dataclasses as _dc
 
     from .common import _PER_SUBGRID_FIELDS
@@ -1050,6 +1127,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=B, ablate=ablate, cfold=cfold,
+        qsplit=qsplit,
     )
 
     def at_spec(sel, b):
@@ -1133,10 +1211,11 @@ def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
 
 def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                w_rank: int = 2, batch: int = 8,
-                               cfold: bool = True):
+                               cfold: bool = True, qsplit: bool = False):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
+        qsplit,
     )
 
 
@@ -1161,8 +1240,9 @@ def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
 
 
 def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
-                               batch: int = 8, w_rank: int = 1):
+                               batch: int = 8, w_rank: int = 1,
+                               qsplit: bool = False):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
-        w_rank, ("3x2k",), interpret, batch,
+        w_rank, ("3x2k",), interpret, batch, qsplit=qsplit,
     )

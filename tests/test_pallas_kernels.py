@@ -47,6 +47,32 @@ def test_degridder_pallas_vs_golden(version, small_params, small_obs, golden_deg
     assert result.passed, f"{version}: error {result.mean_error}"
 
 
+def test_degridder_qsplit_bit_identical(small_params, small_obs, golden_degridder):
+    """The qsplit RHS assembly (quadrant bf16 splits + lhs-half-swap
+    instead of rhb) computes the same four split products in the same f32
+    accumulation grouping — results must match the default path exactly,
+    for both the general-w (v7, cfold) and w-free (v8) schedules."""
+    import numpy as np
+
+    from idg_tpu.ops.pallas.common import stage
+    from idg_tpu.ops.pallas.degridder import (
+        degridder_pallas_v7_staged, degridder_pallas_v8_staged,
+    )
+    from idg_tpu.types import split_complex, split_observation
+
+    sub, _ = golden_degridder
+    stg = stage(small_params, split_observation(small_obs))
+    spair = split_complex(sub)
+    for fn, kw in [
+        (degridder_pallas_v7_staged, dict(w_rank=2)),
+        (degridder_pallas_v8_staged, dict(w_rank=1)),
+    ]:
+        base = fn(small_params, stg, spair, interpret=True, **kw)
+        fast = fn(small_params, stg, spair, interpret=True, qsplit=True, **kw)
+        np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(fast[0]))
+        np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(fast[1]))
+
+
 def test_gridder_pallas_w_rank_matters_for_nonzero_w(small_params, small_obs):
     """With synthetic nonzero w, rank-2 stays inside the gate (the data's
     |w·k·n| is small); rank handling must engage (kernel uses μ)."""
