@@ -287,11 +287,23 @@ def cmd_grid(args) -> int:
             print(f"grid-add plan: {plan.nby}x{plan.nbx} blocks, cap "
                   f"{plan.cap}, slot inflation {plan.slot_inflation:.2f}x")
             if method == "auto":
-                # sparse plans (large grids, few subgrids per block) waste
-                # most slots on sentinel padding — the windowed scatter
-                # wins there; the DMA-pipelined Pallas reduction wins on
-                # dense plans (default problem: inflation 1.5x).
-                method = "pallas" if plan.slot_inflation <= 4.0 else "scatter"
+                # measured v5e/axon constants: VMEM-resident piece scatter
+                # wins outright when the block array fits scoped VMEM;
+                # otherwise the slot-gather kernel costs ~5 us/grid-step
+                # (DMA-issue-bound) vs ~13.6 us/scatter-window, so compare
+                # predicted passes (res/ CSVs: gather 53.5 ms vs scatter
+                # 102 ms at lofar4096; scatter wins at 16384^2)
+                from .ops.grid import VMEM_GRID_LIMIT
+
+                nbp = plan.slots.shape[0]
+                d = params.nr_correlations * n * n
+                gather_steps = nbp * max(-(-plan.cap // 8), 1)
+                if nbp * d * 4 <= VMEM_GRID_LIMIT:
+                    method = "pallas"
+                elif gather_steps * 5.0 < params.nr_subgrids * 13.6:
+                    method = "pallas"
+                else:
+                    method = "scatter"
                 print(f"grid-add auto -> {method}")
         # full split-pair output bytes; one fused pass also holds several
         # padded-plane temporaries, so past ~1/3 of a v5e's 16 GB HBM the

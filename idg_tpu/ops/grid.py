@@ -231,7 +231,8 @@ class GridAddPlan:
     """
 
     def __init__(self, slots: np.ndarray, nby: int, nbx: int, cap: int,
-                 nr_subgrids: int, grid_size: int, subgrid_size: int):
+                 nr_subgrids: int, grid_size: int, subgrid_size: int,
+                 piece_blocks: np.ndarray | None = None):
         self.slots = slots
         self.nby = nby
         self.nbx = nbx
@@ -239,6 +240,10 @@ class GridAddPlan:
         self.nr_subgrids = nr_subgrids
         self.grid_size = grid_size
         self.subgrid_size = subgrid_size
+        # destination block id per quadrant piece (quadrant-major, the
+        # forward form of the slot table) — the vmem-scatter kernel's
+        # routing input; host data, so usable inside traced callers
+        self.piece_blocks = piece_blocks
 
     @property
     def slot_inflation(self) -> float:
@@ -272,7 +277,8 @@ def plan_grid_add(coord_x, coord_y, grid_size: int, subgrid_size: int,
     nbp = ((nb + 7) // 8) * 8
     slots = np.full((nbp, cap), 4 * s, np.int32)
     slots[ids[order], rank] = order.astype(np.int32)
-    return GridAddPlan(slots, nby, nbx, cap, s, g, n)
+    return GridAddPlan(slots, nby, nbx, cap, s, g, n,
+                       piece_blocks=ids.astype(np.int32))
 
 
 def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int) -> Pair:
@@ -358,13 +364,88 @@ def subgrids_to_grid_bucketed(
     return _blocks_to_grid(tuple(blocks), plan, p, grid_in)
 
 
+VMEM_GRID_LIMIT = 32 * 1024 * 1024
+
+
+def _grid_add_vmem_scatter(pieces: Pair, plan: GridAddPlan, bids: np.ndarray,
+                           interpret, chunk: int = 512) -> Pair:
+    """Piece scatter with the GRID resident in VMEM (grids ≤
+    VMEM_GRID_LIMIT per split component, e.g. the default 1024² full-pol
+    = 16 MB): pieces stream CONTIGUOUSLY through the pipeliner in
+    `chunk`-piece blocks (big sequential DMAs — the gather formulation's
+    147k slot-indexed row DMAs cost ~0.94 µs EACH on this platform, a
+    flat 138 ms whatever the lookahead), and the body scatters each piece
+    into the whole-array revisited output by a dynamic leading-axis
+    VMEM read-modify-write (bisect-verified legal, unlike dynamic DMA
+    offsets). No slot table, no sentinel padding — per-piece block ids
+    ride as one [4S] scalar-prefetch array."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nbp = plan.slots.shape[0]
+    m, eight, d8 = pieces[0].shape
+    ch = min(chunk, m)
+    m_pad = -(-m // ch) * ch
+    bids_pad = np.zeros(m_pad, np.int32)
+    bids_pad[:m] = bids
+    bids_dev = jnp.asarray(bids_pad)
+
+    def kernel(bids_ref, rows_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        def body(t, _):
+            b = bids_ref[i * ch + t]
+            o_ref[b] = o_ref[b] + rows_ref[t]
+            return 0
+
+        lax.fori_loop(0, ch, body, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // ch,),
+        in_specs=[
+            pl.BlockSpec((ch, eight, d8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nbp, eight, d8), lambda i, *_: (0, 0, 0)),
+    )
+    out = []
+    for v in pieces:
+        rows = v
+        if m_pad != m:
+            rows = jnp.concatenate(
+                [rows, jnp.zeros((m_pad - m, eight, d8), rows.dtype)]
+            )
+        out.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nbp, eight, d8), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(bids_dev, rows))
+    return tuple(out)
+
+
 def subgrids_to_grid_pallas(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
     interpret=None, grid_in: Pair | None = None,
     plan: GridAddPlan | None = None, rows_per_step: int = 8,
+    mode: str = "auto",
 ) -> Pair:
-    """Grid-add with the slot reduction as a scalar-prefetch-gather Pallas
-    kernel.
+    """Grid-add with the slot reduction as a Pallas kernel. Two device
+    formulations, picked by `mode` ("auto" | "vmem" | "gather"):
+
+    - "vmem": pieces stream sequentially and scatter into a VMEM-resident
+      grid (dynamic leading-axis RMW). Fastest by far, but the whole
+      [NB, N, N·P] block array must fit scoped VMEM (default 1024²
+      full-pol = 16 MB: yes; 4096²: no).
+    - "gather": scalar-prefetch slot-table gather (below).
 
     Same host slot plan as subgrids_to_grid_bucketed, but the irregular
     piece gather runs through data-dependent INPUT BlockSpec index maps:
@@ -412,6 +493,16 @@ def subgrids_to_grid_pallas(
     pre, pim = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
     nbp, cap = plan.slots.shape
     m = 4 * s
+    if mode == "auto":
+        mode = ("vmem" if nbp * d * 4 <= VMEM_GRID_LIMIT else "gather")
+    if mode == "vmem":
+        blocks = _grid_add_vmem_scatter(
+            (pre.reshape(m, 8, d8), pim.reshape(m, 8, d8)),
+            plan, plan.piece_blocks, interpret,
+        )
+        return _blocks_to_grid(
+            tuple(b.reshape(nbp, d) for b in blocks), plan, p, grid_in
+        )
     K = rows_per_step
     cap_k = -(-cap // K)
     slots_h = plan.slots

@@ -253,9 +253,16 @@ def test_grid_wrap_and_pallas_agree(small_params):
     cx = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
     cy = jnp.asarray(rng.integers(0, g, s).astype(np.int32))
     a = subgrids_to_grid(sub, cx, cy, g, apply_fft=False)
-    b = subgrids_to_grid_pallas(sub, cx, cy, g, apply_fft=False, interpret=True)
-    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=2e-6)
-    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=2e-6)
+    for mode in ("vmem", "gather"):
+        b = subgrids_to_grid_pallas(
+            sub, cx, cy, g, apply_fft=False, interpret=True, mode=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=2e-6, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=2e-6, err_msg=mode
+        )
     # mass conservation: wrap loses nothing
     np.testing.assert_allclose(
         float(jnp.sum(a[0])), float(jnp.sum(sub[0])), rtol=1e-5
