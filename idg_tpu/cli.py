@@ -287,18 +287,24 @@ def cmd_grid(args) -> int:
             print(f"grid-add plan: {plan.nby}x{plan.nbx} blocks, cap "
                   f"{plan.cap}, slot inflation {plan.slot_inflation:.2f}x")
             if method == "auto":
-                # measured v5e/axon constants: VMEM-resident piece scatter
-                # wins outright when the block array fits scoped VMEM;
-                # otherwise the slot-gather kernel costs ~5 us/grid-step
-                # (DMA-issue-bound) vs ~13.6 us/scatter-window, so compare
-                # predicted passes (res/ CSVs: gather 53.5 ms vs scatter
-                # 102 ms at lofar4096; scatter wins at 16384^2)
+                # measured v5e/axon constants: the block-sorted range
+                # kernel (static window DMAs, host sort is free on
+                # metadata) wins whenever blocks are mostly occupied
+                # (66.8 ms vs pallas 139 / scatter 333 at the default
+                # problem); VMEM-resident piece scatter when the block
+                # array fits scoped VMEM; the slot-gather kernel costs
+                # ~5 us/grid-step (DMA-issue-bound) vs ~13.6 us/
+                # scatter-window on sparse plans (gather 53.5 ms vs
+                # scatter 102 ms at lofar4096; scatter wins at 16384^2)
                 from .ops.grid import VMEM_GRID_LIMIT
 
                 nbp = plan.slots.shape[0]
                 d = params.nr_correlations * n * n
                 gather_steps = nbp * max(-(-plan.cap // 8), 1)
-                if nbp * d * 4 <= VMEM_GRID_LIMIT:
+                if (g % n == 0 and d % 1024 == 0
+                        and nbp <= 8 * params.nr_subgrids):
+                    method = "ranges"
+                elif nbp * d * 4 <= VMEM_GRID_LIMIT:
                     method = "pallas"
                 elif gather_steps * 5.0 < params.nr_subgrids * 13.6:
                     method = "pallas"
@@ -336,6 +342,28 @@ def cmd_grid(args) -> int:
 
             fn = jax.jit(lambda s, x, y: subgrids_to_grid_pallas(
                 s, x, y, g, apply_fft, plan=plan))
+        elif method == "ranges":
+            # block-sorted metadata path: sort once on the host (free —
+            # coords are host data and the gridder is order-independent;
+            # a production pipeline sorts at observation setup), then
+            # every (quadrant, block) source set is one contiguous piece
+            # range and the kernel is pure static-window DMA.
+            import numpy as np
+
+            from .ops.grid import (block_sort_order, plan_grid_add_ranges,
+                                   subgrids_to_grid_ranges)
+
+            order = block_sort_order(md.coord_x, md.coord_y, g, n)
+            cx_s = np.asarray(md.coord_x)[order]
+            cy_s = np.asarray(md.coord_y)[order]
+            rplan = plan_grid_add_ranges(cx_s, cy_s, g, n)
+            print(f"grid-add range plan: {rplan.nby}x{rplan.nbx} blocks, "
+                  f"window {rplan.w}")
+            sub = tuple(jax.device_put(np.asarray(v)[order]) for v in sub)
+            cx = jax.device_put(cx_s)
+            cy = jax.device_put(cy_s)
+            fn = jax.jit(lambda s, x, y: subgrids_to_grid_ranges(
+                s, x, y, g, apply_fft, plan=rplan))
         else:
             from .ops.grid import subgrids_to_grid_bucketed
 
@@ -368,6 +396,74 @@ def cmd_grid(args) -> int:
         name, dev, CSV_EXT, timing.seconds, gflops, gbytes,
         output_path=harness.output_path, roofline=roofline,
         seconds_std=timing.seconds_std,
+    )
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    """Single-chip end-to-end imaging pass: gridder kernel → subgrid
+    iDFT (+roll phases) → block-range grid accumulation. The production
+    composition the reference's two benchmarks feed into (README.md:78-80
+    stops at subgrids); reports the pass throughput and each stage's
+    measured share."""
+    import jax
+
+    from .config import HarnessConfig, IDGParams
+    from .data import make_perf_observation
+    from .ops.api import _resolve, staged_runner
+    from .ops.grid import (plan_grid_add_ranges, sort_observation_blocks,
+                           subgrids_to_grid_ranges)
+    from .utils.costs import workload_costs
+    from .utils.printing import print_device_info, print_parameters
+    from .utils.report import device_name, report, report_csv
+    from .utils.roofline import roofline_fraction
+    from .utils.timing import time_kernel
+
+    params = IDGParams.from_env()
+    harness = HarnessConfig.from_env()
+    print_device_info()
+    print_parameters(params)
+    g, n = params.grid_size, params.subgrid_size
+    obs = make_perf_observation(params)
+    # block-sorted metadata: free on the host, enables the range-read
+    # grid accumulator (contiguous piece runs per destination block)
+    obs, _ = sort_observation_blocks(obs, g, n)
+    md = obs.metadata
+    rversion, rw_rank = _resolve("gridder", args.version, params, obs,
+                                 args.w_rank)
+    kfn, kargs = staged_runner("gridder", rversion, params, obs,
+                               w_rank=rw_rank)
+    plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
+    cx = jax.device_put(md.coord_x)
+    cy = jax.device_put(md.coord_y)
+    gfn = jax.jit(lambda s: subgrids_to_grid_ranges(
+        s, cx, cy, g, apply_fft=True, plan=plan))
+
+    def pass_fn(*a):
+        return gfn(kfn(*a))
+
+    t_kernel = time_kernel(kfn, *kargs, harness=harness).seconds
+    timing = time_kernel(pass_fn, *kargs, harness=harness)
+    t_grid = max(timing.seconds - t_kernel, 0.0)
+    gflops, gbytes, mvis = workload_costs(params)
+    from .utils.costs import grid_costs
+
+    ggflops, ggbytes, _ = grid_costs(params)
+    gflops, gbytes = gflops + ggflops, gbytes + ggbytes
+    dev = device_name()
+    name = f"pipeline_{rversion}" + args.suffix
+    roofline = roofline_fraction(gflops / timing.seconds, gflops, gbytes, dev)
+    print(f"    stage split: gridder {t_kernel*1e3:.1f} ms "
+          f"({100*t_kernel/timing.seconds:.0f}%), grid stage "
+          f"{t_grid*1e3:.1f} ms ({100*t_grid/timing.seconds:.0f}%)")
+    report(name, timing.seconds, gflops, gbytes, mvis, roofline=roofline,
+           seconds_std=timing.seconds_std)
+    report_csv(
+        name, dev, CSV_EXT, timing.seconds, gflops, gbytes, mvis,
+        output_path=harness.output_path, roofline=roofline,
+        seconds_std=timing.seconds_std,
+        extra={"grid_stage_ms": t_grid * 1e3,
+               "grid_stage_pct": 100 * t_grid / timing.seconds},
     )
     return 0
 
@@ -506,16 +602,27 @@ def main(argv=None) -> int:
     p_grid.add_argument("--no-fft", action="store_true",
                         help="scatter/gather only (skip the subgrid DFT)")
     p_grid.add_argument("--method",
-                        choices=["auto", "bucket", "scatter", "pallas"],
+                        choices=["auto", "bucket", "scatter", "pallas",
+                                 "ranges"],
                         default="auto",
-                        help="to-grid accumulation: auto picks the "
-                             "DMA-pipelined Pallas slot reduction on dense "
-                             "plans and the XLA windowed scatter on sparse "
-                             "ones; bucket = XLA gather/reduce (slow on "
-                             "TPU, kept for comparison)")
+                        help="to-grid accumulation: auto prefers the "
+                             "block-sorted range kernel (static window "
+                             "DMAs), then the Pallas slot reduction / "
+                             "XLA windowed scatter by plan density; "
+                             "bucket = XLA gather/reduce (slow on TPU, "
+                             "kept for comparison)")
     p_grid.add_argument("--suffix", default="",
                         help="extra CSV/report name suffix (e.g. _8192)")
     p_grid.set_defaults(fn=cmd_grid)
+
+    p_pipe = sub.add_parser(
+        "pipeline",
+        help="end-to-end pass: gridder -> subgrid iDFT -> grid accumulation")
+    p_pipe.add_argument("--version", default="pallas_v6",
+                        help="gridder kernel version")
+    p_pipe.add_argument("--w-rank", type=int, default=None)
+    p_pipe.add_argument("--suffix", default="")
+    p_pipe.set_defaults(fn=cmd_pipeline)
 
     sub.add_parser("list", help="list registered kernels").set_defaults(fn=cmd_list)
     sub.add_parser("info", help="print device info").set_defaults(fn=cmd_info)

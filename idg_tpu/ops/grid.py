@@ -310,6 +310,17 @@ def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int) -> Pair:
     kw = dict(precision="highest", preferred_element_type=jnp.float32)
     rolled_re = jnp.einsum("siy,spyx,sxj->spij", rmat, re, cmat, **kw)
     rolled_im = jnp.einsum("siy,spyx,sxj->spij", rmat, im, cmat, **kw)
+    return _mask_pieces((rolled_re, rolled_im), oy, ox)
+
+
+def _mask_pieces(rolled: Pair, oy, ox, pad_rows: int = 0) -> Pair:
+    """Mask ROLLED tiles into their 4 quadrant pieces (quadrant-major
+    concat, matching plan_grid_add's ids), optionally appending pad_rows
+    zero rows inside the same concatenate (one allocation + in-place
+    writes — a separate jnp pad costs a full extra copy of the array)."""
+    re, im = rolled
+    s, p, n, _ = re.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
     row_hi = iota[None, :] >= oy[:, None]
     col_hi = iota[None, :] >= ox[:, None]
     pre, pim = [], []
@@ -318,9 +329,38 @@ def _quadrant_pieces(sub: Pair, coord_y, coord_x, grid_size: int) -> Pair:
         for qx in (0, 1):
             cmask = col_hi if qx == 0 else ~col_hi
             m = rmask[:, None, :, None] & cmask[:, None, None, :]
-            pre.append(jnp.where(m, rolled_re, 0.0))
-            pim.append(jnp.where(m, rolled_im, 0.0))
+            pre.append(jnp.where(m, re, 0.0))
+            pim.append(jnp.where(m, im, 0.0))
+    if pad_rows:
+        z = jnp.zeros((pad_rows, p, n, n), re.dtype)
+        pre.append(z)
+        pim.append(z)
     return jnp.concatenate(pre), jnp.concatenate(pim)
+
+
+def _phase_roll_fourier(sub: Pair, oy, ox) -> Pair:
+    """Fold the per-tile cyclic roll by (oy, ox) into Fourier space:
+    roll(ifft2(T), (oy, ox)) == ifft2(T · exp(-2πi(ky·oy + kx·ox)/n)).
+
+    Applied BEFORE the subgrid iDFT, this replaces the permutation-matmul
+    roll on the image tiles with a fully elementwise phase multiply. The
+    point is LAYOUT, not FLOPs: XLA lays the batched roll-einsum output
+    S-minor, and relaying the resulting ~GB piece arrays row-major for
+    the grid-add kernel measured +94 ms at the default problem — the
+    phase multiply fuses into the DFT matmuls and keeps everything
+    row-major. Angles use exact integer mod n (k·o < n² fits int32), so
+    the phases are exactly periodic."""
+    re, im = sub
+    s, p, n, _ = re.shape
+    k = jnp.arange(n, dtype=jnp.int32)
+    ay = (-2.0 * np.pi / n) * ((k[None, :] * oy[:, None]) % n).astype(jnp.float32)
+    ax = (-2.0 * np.pi / n) * ((k[None, :] * ox[:, None]) % n).astype(jnp.float32)
+    cy_, sy_ = jnp.cos(ay), jnp.sin(ay)                       # [S, n]
+    cx_, sx_ = jnp.cos(ax), jnp.sin(ax)
+    pc = cy_[:, :, None] * cx_[:, None, :] - sy_[:, :, None] * sx_[:, None, :]
+    ps = cy_[:, :, None] * sx_[:, None, :] + sy_[:, :, None] * cx_[:, None, :]
+    pc, ps = pc[:, None], ps[:, None]                         # [S, 1, n, n]
+    return (re * pc - im * ps, re * ps + im * pc)
 
 
 def _blocks_to_grid(blocks: Pair, plan: GridAddPlan, p: int,
@@ -365,6 +405,203 @@ def subgrids_to_grid_bucketed(
 
 
 VMEM_GRID_LIMIT = 32 * 1024 * 1024
+
+
+def block_sort_order(coord_x, coord_y, grid_size: int,
+                     subgrid_size: int) -> np.ndarray:
+    """Host permutation sorting subgrids by destination grid block
+    (row-major). With metadata sorted this way, every block's quadrant-q
+    pieces form ONE contiguous range of the piece array — the property
+    the "ranges" grid-add kernel needs. Sorting metadata is free (host
+    data, and kernels are per-subgrid independent); production pipelines
+    apply it once at observation setup."""
+    g, n = grid_size, subgrid_size
+    cx = np.asarray(coord_x).astype(np.int64) % g
+    cy = np.asarray(coord_y).astype(np.int64) % g
+    nbx = g // n
+    return np.argsort((cy // n) * nbx + (cx // n), kind="stable")
+
+
+def sort_observation_blocks(obs, grid_size: int, subgrid_size: int):
+    """Return (observation with block-sorted per-subgrid metadata, order).
+
+    Sorting metadata is free — it is host data, and the gridder/degridder
+    kernels are per-subgrid independent — and gives the grid stage the
+    contiguous piece ranges the "ranges" accumulator needs. Production
+    pipelines apply this once at observation setup."""
+    import dataclasses
+
+    md = obs.metadata
+    order = block_sort_order(md.coord_x, md.coord_y, grid_size, subgrid_size)
+    md_sorted = type(md)(**{
+        f.name: np.asarray(getattr(md, f.name))[order]
+        for f in dataclasses.fields(md)
+    })
+    return dataclasses.replace(obs, metadata=md_sorted), order
+
+
+class GridAddRangePlan:
+    """Host routing for the range-read grid-add: per (quadrant, block)
+    contiguous piece ranges. Requires block-sorted coords.
+
+    starts/lens: [4, NBp] int32 — piece-array offsets (quadrant section
+    folded in) and run lengths; w: window size = max run length."""
+
+    def __init__(self, starts, lens, w, nby, nbx, nbp, nr_subgrids,
+                 grid_size, subgrid_size):
+        self.starts = starts
+        self.lens = lens
+        self.w = w
+        self.nby = nby
+        self.nbx = nbx
+        self.nbp = nbp
+        self.nr_subgrids = nr_subgrids
+        self.grid_size = grid_size
+        self.subgrid_size = subgrid_size
+
+
+def plan_grid_add_ranges(coord_x, coord_y, grid_size: int,
+                         subgrid_size: int) -> GridAddRangePlan:
+    """Range plan from BLOCK-SORTED host coords (see block_sort_order).
+
+    For block b = (iy, ix) and quadrant q = (qy, qx), the contributing
+    subgrids are exactly those whose home block is ((iy−qy) mod nby,
+    (ix−qx) mod nbx) — a bijective shift of the sorted home-block order,
+    so each (q, b) source set is one contiguous subgrid run [r0, r0+len)
+    and the piece range is [q·S + r0, q·S + r0 + len)."""
+    n = subgrid_size
+    g = grid_size
+    if g % n:
+        raise ValueError(f"grid_size {g} must be a multiple of subgrid_size {n}")
+    cx = np.asarray(coord_x).astype(np.int64) % g
+    cy = np.asarray(coord_y).astype(np.int64) % g
+    s = int(cx.shape[0])
+    nby = nbx = g // n
+    nb = nby * nbx
+    home = (cy // n) * nbx + (cx // n)
+    if np.any(np.diff(home) < 0):
+        raise ValueError(
+            "plan_grid_add_ranges requires block-sorted coords "
+            "(apply block_sort_order to the metadata first)"
+        )
+    counts = np.bincount(home, minlength=nb)
+    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nbp = ((nb + 7) // 8) * 8
+    starts = np.zeros((4, nbp), np.int64)
+    lens = np.zeros((4, nbp), np.int32)
+    iy, ix = np.divmod(np.arange(nb), nbx)
+    for q, (qy, qx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        src = ((iy - qy) % nby) * nbx + ((ix - qx) % nbx)
+        starts[q, :nb] = q * s + seg_start[src]
+        lens[q, :nb] = counts[src]
+    w = max(8, int(counts.max()) if s else 8)
+    return GridAddRangePlan(
+        starts.astype(np.int32), lens, w, nby, nbx, nbp, s, g, n
+    )
+
+
+def range_pad_rows(plan: GridAddRangePlan) -> int:
+    """Zero rows to append to the [4S, ...] piece array so every window
+    the range kernel can address (start//w and start//w + 1) is a valid
+    whole block of W rows."""
+    m = 4 * plan.nr_subgrids
+    return (-(-m // plan.w) + 1) * plan.w - m
+
+
+# Scalar-prefetch SMEM budget: 4·nbp int32 per table, two tables, 1 MB
+# SMEM total on v5e → stripe the block axis so each call's tables are
+# ≤ 256 KB each (measured: 262144-entry tables OOM SMEM at 8192²).
+MAX_RANGE_BLOCKS = 16384
+
+
+def _grid_add_ranges(pieces: Pair, plan: GridAddRangePlan,
+                     interpret) -> Pair:
+    """Range-read reduction: one grid step per block; per quadrant, two
+    data-dependent W-row window reads cover the block's (arbitrary-
+    offset, length ≤ W) piece range; rows are mask-selected by absolute
+    index and summed. All dynamic behavior is block-granular input index
+    maps — the only dynamic-access construct this platform runs at full
+    DMA bandwidth (per-row gathers, dynamic-offset manual DMA, and
+    dynamic VMEM RMW all measured ~1 µs/access; see
+    subgrids_to_grid_pallas docstring). Large grids stripe the block
+    axis across several calls to bound the SMEM scalar tables."""
+    if plan.nbp > MAX_RANGE_BLOCKS:
+        stripes = []
+        for lo in range(0, plan.nbp, MAX_RANGE_BLOCKS):
+            hi = min(lo + MAX_RANGE_BLOCKS, plan.nbp)
+            stripes.append(_grid_add_ranges_call(
+                pieces, plan, plan.starts[:, lo:hi], plan.lens[:, lo:hi],
+                interpret,
+            ))
+        return tuple(
+            jnp.concatenate([s[i] for s in stripes]) for i in range(2)
+        )
+    return _grid_add_ranges_call(pieces, plan, plan.starts, plan.lens,
+                                 interpret)
+
+
+def _grid_add_ranges_call(pieces: Pair, plan: GridAddRangePlan,
+                          starts_np, lens_np, interpret) -> Pair:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m_pad, eight, d8 = pieces[0].shape
+    w = plan.w
+    nbp = starts_np.shape[1]
+    if m_pad != range_pad_rows(plan) + 4 * plan.nr_subgrids:
+        raise ValueError("pieces must be pre-padded with range_pad_rows")
+    n_wblocks = m_pad // w
+    starts = jnp.asarray(np.ascontiguousarray(starts_np).reshape(-1))
+    lens = jnp.asarray(np.ascontiguousarray(lens_np).reshape(-1))
+
+    def kernel(starts_ref, lens_ref, *refs):
+        in_refs = refs[:8]
+        o_ref = refs[8]
+        b = pl.program_id(0)
+        acc = jnp.zeros((eight, d8), jnp.float32)
+        for q in range(4):
+            r0 = starts_ref[q * nbp + b]
+            ln = lens_ref[q * nbp + b]
+            base = (r0 // w) * w
+            rows = jnp.concatenate(
+                [in_refs[2 * q][...], in_refs[2 * q + 1][...]], axis=0
+            )                                        # [2W, 8, d8]
+            idx = base + jax.lax.broadcasted_iota(jnp.int32, (2 * w, 1, 1), 0)
+            sel = ((idx >= r0) & (idx < r0 + ln)).astype(jnp.float32)
+            acc = acc + jnp.sum(rows * sel, axis=0)
+        o_ref[...] = acc[None]
+
+    def win_spec(q, off):
+        return pl.BlockSpec(
+            (w, eight, d8),
+            lambda b, starts_, lens_, q=q, off=off: (
+                jnp.minimum(starts_[q * nbp + b] // w + off, n_wblocks - 1),
+                0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nbp,),
+        in_specs=[win_spec(q, off) for q in range(4) for off in (0, 1)],
+        out_specs=pl.BlockSpec((1, eight, d8), lambda b, *_: (b, 0, 0)),
+    )
+    out = []
+    for rows in pieces:
+        # Materialize ONCE before fanning out to 8 operand slots: without
+        # the barrier XLA can replicate the producing fusion per operand.
+        (rows,) = jax.lax.optimization_barrier((rows,))
+        out.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nbp, eight, d8), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(starts, lens, *([rows] * 8)))
+    return tuple(out)
 
 
 def _grid_add_vmem_scatter(pieces: Pair, plan: GridAddPlan, bids: np.ndarray,
@@ -430,6 +667,63 @@ def _grid_add_vmem_scatter(pieces: Pair, plan: GridAddPlan, bids: np.ndarray,
             ),
         )(bids_dev, rows))
     return tuple(out)
+
+
+def subgrids_to_grid_ranges(
+    sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
+    interpret=None, grid_in: Pair | None = None,
+    plan: GridAddRangePlan | None = None,
+) -> Pair:
+    """Grid-add via the range-read Pallas kernel (_grid_add_ranges).
+
+    REQUIRES block-sorted coords (block_sort_order); raises otherwise
+    when planning. This is the fast path a production pipeline gets by
+    sorting metadata once at observation setup: contiguous piece runs →
+    8 static-size window DMAs per block instead of per-piece dynamic
+    accesses (which cost ~1 µs each on this platform, however issued).
+
+    With apply_fft=True the per-tile roll rides the subgrid iDFT as
+    Fourier phases (_phase_roll_fourier) and the quadrant masks are pure
+    elementwise ops — the whole producer stays row-major and fuses into
+    the piece concat, where the roll-einsum path pays ~94 ms of S-minor
+    relayout copies at the default problem."""
+    from .pallas.common import use_interpret
+
+    if interpret is None:
+        interpret = use_interpret()
+    s, p, n, _ = sub[0].shape
+    d = p * n * n
+    if plan is None:
+        plan = plan_grid_add_ranges(coord_x, coord_y, grid_size, n)
+    if d % 1024:
+        if apply_fft:
+            sub = fft2_pair(fftshift2_pair(sub), inverse=True)
+            sub = fftshift2_pair(sub)
+        return subgrids_to_grid_bucketed(
+            sub, coord_x, coord_y, grid_size, apply_fft=False,
+            grid_in=grid_in,
+        )
+    d8 = d // 8
+    pad = range_pad_rows(plan)
+    m_pad = 4 * s + pad
+    cy = coord_y.astype(jnp.int32) % grid_size
+    cx = coord_x.astype(jnp.int32) % grid_size
+    oy, ox = cy % n, cx % n
+    if apply_fft:
+        x = _phase_roll_fourier(fftshift2_pair(sub), oy, ox)
+        x = fftshift2_pair(fft2_pair(x, inverse=True))
+        pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
+    else:
+        pieces = _quadrant_pieces(sub, coord_y, coord_x, grid_size)
+        z = jnp.zeros((pad, p, n, n), pieces[0].dtype)
+        pre, pim = (jnp.concatenate([v, z]) for v in pieces)
+    blocks = _grid_add_ranges(
+        (pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)),
+        plan, interpret,
+    )
+    return _blocks_to_grid(
+        tuple(b.reshape(plan.nbp, d) for b in blocks), plan, p, grid_in
+    )
 
 
 def subgrids_to_grid_pallas(

@@ -71,8 +71,10 @@ def report_csv(
     output_path: Optional[str] = None,
     roofline: Optional[float] = None,
     seconds_std: Optional[float] = None,
+    extra: Optional[dict] = None,
 ) -> Optional[str]:
-    """CSV emitter (common.cpp:58-98). Returns the written path."""
+    """CSV emitter (common.cpp:58-98). Returns the written path. `extra`
+    appends workload-specific rows (e.g. the pipeline's stage split)."""
     if not device_name or not file_extension:
         print(">>> Device name or file extension not provided")
         return None
@@ -88,6 +90,8 @@ def report_csv(
         ):
             f.write(f"{label},{value:.4g}\n" if label == "ms_stddev"
                     else f"{label},{value:.2f}\n")
+        for label, value in (extra or {}).items():
+            f.write(f"{label},{value:.2f}\n")
     return file_path
 
 

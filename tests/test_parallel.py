@@ -269,6 +269,100 @@ def test_grid_wrap_and_pallas_agree(small_params):
     )
 
 
+def test_grid_add_ranges_matches_scatter(small_params):
+    """The range-read kernel (block-sorted metadata, contiguous piece
+    runs) reproduces the windowed scatter, including wrap tiles; unsorted
+    coords are rejected at plan time."""
+    import jax.numpy as jnp
+    import pytest
+
+    from idg_tpu.ops.grid import (
+        block_sort_order, plan_grid_add_ranges, subgrids_to_grid,
+        subgrids_to_grid_ranges,
+    )
+
+    rng = np.random.default_rng(13)
+    s, p, n, g = 29, 4, 16, 64
+    cx_u = rng.integers(0, g, s).astype(np.int32)
+    cy_u = rng.integers(0, g, s).astype(np.int32)
+    order = block_sort_order(cx_u, cy_u, g, n)
+    cx, cy = cx_u[order], cy_u[order]
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    a = subgrids_to_grid(sub, cx, cy, g, apply_fft=False)
+    b = subgrids_to_grid_ranges(sub, cx, cy, g, apply_fft=False,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=2e-6)
+    # fused path: the roll rides the iDFT as Fourier phases
+    af = subgrids_to_grid(sub, cx, cy, g, apply_fft=True)
+    bf = subgrids_to_grid_ranges(sub, cx, cy, g, apply_fft=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(af[0]), np.asarray(bf[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(af[1]), np.asarray(bf[1]), atol=2e-5)
+    if np.any(np.diff((cy_u // n) * (g // n) + cx_u // n) < 0):
+        with pytest.raises(ValueError, match="block-sorted"):
+            plan_grid_add_ranges(cx_u, cy_u, g, n)
+
+
+def test_grid_add_ranges_striped(small_params, monkeypatch):
+    """Large-grid SMEM striping (MAX_RANGE_BLOCKS) produces the same grid
+    as the single-call path."""
+    import idg_tpu.ops.grid as grid_mod
+    from idg_tpu.ops.grid import block_sort_order, subgrids_to_grid_ranges
+
+    rng = np.random.default_rng(7)
+    s, p, n, g = 23, 4, 16, 64
+    cx = rng.integers(0, g, s).astype(np.int32)
+    cy = rng.integers(0, g, s).astype(np.int32)
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = cx[order], cy[order]
+    sub = (
+        np.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        np.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    a = subgrids_to_grid_ranges(sub, cx, cy, g, apply_fft=False,
+                                interpret=True)
+    monkeypatch.setattr(grid_mod, "MAX_RANGE_BLOCKS", 8)
+    b = subgrids_to_grid_ranges(sub, cx, cy, g, apply_fft=False,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_sort_observation_blocks_permutes_gridder(small_params):
+    """Block-sorting the metadata (the pipeline's free host-side prep for
+    the range grid-add) just permutes the gridder's per-subgrid outputs —
+    same subgrids, sorted order, and the full pipeline composition
+    (gridder → iDFT+roll → range accumulation) matches the unsorted
+    scatter pipeline."""
+    from idg_tpu.ops.grid import (plan_grid_add_ranges,
+                                  sort_observation_blocks,
+                                  subgrids_to_grid_ranges)
+
+    params = small_params
+    obs, _ = make_observation(params)
+    g, n = params.grid_size, params.subgrid_size
+    sorted_obs, order = sort_observation_blocks(obs, g, n)
+    base = run_gridder(params, obs, version="xla_v2")
+    got = run_gridder(params, sorted_obs, version="xla_v2")
+    np.testing.assert_array_equal(np.asarray(base)[order], np.asarray(got))
+
+    md = sorted_obs.metadata
+    plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
+    a = subgrids_to_grid(split_complex(base), obs.metadata.coord_x,
+                         obs.metadata.coord_y, g, apply_fft=True)
+    b = subgrids_to_grid_ranges(split_complex(got), md.coord_x, md.coord_y,
+                                g, apply_fft=True, plan=plan, interpret=True)
+    scale = max(np.abs(np.asarray(a[0])).max(), 1e-30)
+    np.testing.assert_allclose(np.asarray(a[0]) / scale,
+                               np.asarray(b[0]) / scale, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a[1]) / scale,
+                               np.asarray(b[1]) / scale, atol=2e-5)
+
+
 def test_grid_add_streamed_matches_fused(small_params):
     """The per-plane-jit streamed scatter (the HBM-capacity formulation
     used at 16384²) produces exactly the fused path's planes."""
