@@ -380,11 +380,33 @@ def cmd_grid(args) -> int:
             np.zeros((params.nr_correlations, g, g), np.float32),
             np.zeros((params.nr_correlations, g, g), np.float32),
         ))
-        fn = jax.jit(
-            lambda gr, x, y: grid_to_subgrids(gr, x, y, n, apply_fft)
-        )
+        use_ranges = args.method in ("auto", "ranges") and g % n == 0
+        if use_ranges:
+            from .ops.grid import (MAX_EXTRACT_SPAN, block_sort_order,
+                                   grid_to_subgrids_ranges,
+                                   plan_grid_extract_ranges)
+
+            order = block_sort_order(md.coord_x, md.coord_y, g, n)
+            cx_s = np.asarray(md.coord_x)[order]
+            cy_s = np.asarray(md.coord_y)[order]
+            eplan = plan_grid_extract_ranges(cx_s, cy_s, g, n)
+            use_ranges = eplan.k_span <= MAX_EXTRACT_SPAN
+            print(f"grid-extract range plan: {eplan.n_chunks} chunks of "
+                  f"{eplan.wc}, window {eplan.k_span}"
+                  + ("" if use_ranges else " -> fallback gather (sparse)"))
+        if use_ranges:
+            cx = jax.device_put(cx_s)
+            cy = jax.device_put(cy_s)
+            fn = jax.jit(lambda gr, x, y: grid_to_subgrids_ranges(
+                gr, x, y, n, apply_fft, plan=eplan))
+            name = ("grid_extract" if args.method == "auto"
+                    else "grid_extract_ranges") + args.suffix
+        else:
+            fn = jax.jit(
+                lambda gr, x, y: grid_to_subgrids(gr, x, y, n, apply_fft)
+            )
+            name = "grid_extract" + args.suffix
         fargs = (grid, cx, cy)
-        name = "grid_extract" + args.suffix
 
     timing = time_kernel(fn, *fargs, harness=harness)
     gflops, gbytes, _ = grid_costs(params)
@@ -401,12 +423,15 @@ def cmd_grid(args) -> int:
 
 
 def cmd_pipeline(args) -> int:
-    """Single-chip end-to-end imaging pass: gridder kernel → subgrid
-    iDFT (+roll phases) → block-range grid accumulation. The production
-    composition the reference's two benchmarks feed into (README.md:78-80
-    stops at subgrids); reports the pass throughput and each stage's
-    measured share."""
+    """Single-chip end-to-end imaging pass. direction=grid: gridder
+    kernel → subgrid iDFT (+roll phases) → block-range grid
+    accumulation; direction=degrid: block-range grid extraction → DFT
+    (+conjugate roll phases) → degridder kernel. The production
+    compositions the reference's two benchmarks feed into
+    (README.md:78-80 stops at subgrids); reports the pass throughput and
+    each stage's measured share."""
     import jax
+    import numpy as np
 
     from .config import HarnessConfig, IDGParams
     from .data import make_perf_observation
@@ -426,34 +451,79 @@ def cmd_pipeline(args) -> int:
     g, n = params.grid_size, params.subgrid_size
     obs = make_perf_observation(params)
     # block-sorted metadata: free on the host, enables the range-read
-    # grid accumulator (contiguous piece runs per destination block)
+    # grid accumulator/extractor (contiguous runs per grid block)
     obs, _ = sort_observation_blocks(obs, g, n)
     md = obs.metadata
-    rversion, rw_rank = _resolve("gridder", args.version, params, obs,
-                                 args.w_rank)
-    kfn, kargs = staged_runner("gridder", rversion, params, obs,
-                               w_rank=rw_rank)
-    plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
     cx = jax.device_put(md.coord_x)
     cy = jax.device_put(md.coord_y)
-    gfn = jax.jit(lambda s: subgrids_to_grid_ranges(
-        s, cx, cy, g, apply_fft=True, plan=plan))
+    degrid = args.direction == "degrid"
+    version = args.version or ("pallas_v7" if degrid else "pallas_v6")
 
-    def pass_fn(*a):
-        return gfn(kfn(*a))
+    if degrid:
+        from .ops.api import staged_degridder_consumer
+        from .ops.grid import (grid_to_subgrids_ranges,
+                               plan_grid_extract_ranges)
 
-    t_kernel = time_kernel(kfn, *kargs, harness=harness).seconds
-    timing = time_kernel(pass_fn, *kargs, harness=harness)
-    t_grid = max(timing.seconds - t_kernel, 0.0)
+        kfn, rversion = staged_degridder_consumer(
+            params, obs, version, w_rank=args.w_rank
+        )
+        eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n)
+        rng = np.random.default_rng(11)
+        grid_pair = jax.device_put(tuple(
+            rng.normal(size=(params.nr_correlations, g, g))
+            .astype(np.float32) for _ in range(2)
+        ))
+        efn = jax.jit(lambda gr: grid_to_subgrids_ranges(
+            gr, cx, cy, n, apply_fft=True, plan=eplan))
+
+        def grid_stage(gr):
+            # leading-axis output slice (probe5: keeps kernel speed,
+            # bounds the timing queue's live buffers)
+            return tuple(v[:1] for v in efn(gr))
+
+        def pass_fn(gr):
+            return kfn(efn(gr))
+
+        stage_args = (grid_pair,)
+        kernel_args = None
+        kname = "degridder"
+    else:
+        rversion, rw_rank = _resolve("gridder", version, params, obs,
+                                     args.w_rank)
+        kfn, kernel_args = staged_runner("gridder", rversion, params, obs,
+                                         w_rank=rw_rank)
+        plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
+        gfn = jax.jit(lambda s: subgrids_to_grid_ranges(
+            s, cx, cy, g, apply_fft=True, plan=plan))
+
+        def pass_fn(*a):
+            return gfn(kfn(*a))
+
+        stage_args = kernel_args
+        kname = "gridder"
+
+    if degrid:
+        t_kernel = None  # measured as (pass − grid stage) below
+        t_other = time_kernel(grid_stage, *stage_args, harness=harness).seconds
+    else:
+        t_kernel = time_kernel(kfn, *kernel_args, harness=harness).seconds
+        t_other = None
+    timing = time_kernel(pass_fn, *stage_args, harness=harness)
+    if t_kernel is None:
+        t_grid = min(t_other, timing.seconds)
+        t_kernel = max(timing.seconds - t_grid, 0.0)
+    else:
+        t_grid = max(timing.seconds - t_kernel, 0.0)
     gflops, gbytes, mvis = workload_costs(params)
     from .utils.costs import grid_costs
 
     ggflops, ggbytes, _ = grid_costs(params)
     gflops, gbytes = gflops + ggflops, gbytes + ggbytes
     dev = device_name()
-    name = f"pipeline_{rversion}" + args.suffix
+    name = (f"pipeline_{'degrid_' if degrid else ''}{rversion}"
+            + args.suffix)
     roofline = roofline_fraction(gflops / timing.seconds, gflops, gbytes, dev)
-    print(f"    stage split: gridder {t_kernel*1e3:.1f} ms "
+    print(f"    stage split: {kname} {t_kernel*1e3:.1f} ms "
           f"({100*t_kernel/timing.seconds:.0f}%), grid stage "
           f"{t_grid*1e3:.1f} ms ({100*t_grid/timing.seconds:.0f}%)")
     report(name, timing.seconds, gflops, gbytes, mvis, roofline=roofline,
@@ -617,9 +687,13 @@ def main(argv=None) -> int:
 
     p_pipe = sub.add_parser(
         "pipeline",
-        help="end-to-end pass: gridder -> subgrid iDFT -> grid accumulation")
-    p_pipe.add_argument("--version", default="pallas_v6",
-                        help="gridder kernel version")
+        help="end-to-end pass: gridder -> iDFT -> grid accumulation, or "
+             "grid extraction -> DFT -> degridder")
+    p_pipe.add_argument("--direction", choices=["grid", "degrid"],
+                        default="grid")
+    p_pipe.add_argument("--version", default=None,
+                        help="kernel version (default pallas_v6 gridder / "
+                             "pallas_v7 degridder)")
     p_pipe.add_argument("--w-rank", type=int, default=None)
     p_pipe.add_argument("--suffix", default="")
     p_pipe.set_defaults(fn=cmd_pipeline)

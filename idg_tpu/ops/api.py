@@ -407,3 +407,88 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     if workload == "gridder":
         return jit_fn, (params, sobs)
     return jit_fn, (params, sobs, sub_pair)
+
+
+def staged_degridder_consumer(params: IDGParams, obs: Observation,
+                              version: str = "pallas_v7", w_rank=None):
+    """For pipeline benchmarking: returns (fn, resolved_version) where
+    fn(sub_pair) degrids a FULL [S, P, N, N] split pair produced on
+    device (e.g. by the grid-extraction stage) — the degridding dual of
+    staged_runner's gridder entry. The observation is staged once,
+    vis-free; for S > MAX_CHUNK the subgrid input is chunk-sliced INSIDE
+    each chunk's jit (dynamic_slice fuses into the operand copy, so no
+    host-visible intermediate or S-minor relayout appears). Outputs are
+    leading-axis-sliced to keep the timing queue's buffers small (see
+    staged_runner's chunked path for the probe5 rationale)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from .common import canonical_time_offsets
+    from .pallas import STAGED
+    from .pallas.common import slice_staged
+    from .pallas.degridder import MAX_CHUNK
+
+    version, w_rank = _resolve("degridder", version, params, obs, w_rank)
+    if ("degridder", version) not in STAGED:
+        raise ValueError(f"degridder {version} has no staged split")
+    stage_fn, run_fn = STAGED[("degridder", version)]
+    if w_rank is not None and "w_rank" in inspect.signature(run_fn).parameters:
+        run_fn = partial(run_fn, w_rank=w_rank)
+    host_sobs = _dc.replace(split_observation(obs), vis_re=None, vis_im=None)
+    sobs = jax.device_put(host_sobs)
+    canonical = canonical_time_offsets(obs.metadata, params.nr_timesteps_subgrid)
+    stg = jax.jit(
+        partial(stage_fn, canonical=canonical, with_vis=False),
+        static_argnums=0,
+    )(params, sobs)
+    s = stg.uvw.shape[0]
+
+    def _slim(out):
+        return jax.tree_util.tree_map(lambda x: x[:1], out)
+
+    if s <= MAX_CHUNK:
+        run = jax.jit(
+            lambda p, st, sub: _slim(run_fn(p, st, sub)), static_argnums=0
+        )
+        return (lambda sub: run(params, stg, sub)), version
+
+    n_chunks = math.ceil(s / MAX_CHUNK)
+    s_pad = n_chunks * MAX_CHUNK
+    if s_pad != s:
+        from .pallas.common import _PER_SUBGRID_FIELDS
+
+        pad = s_pad - s
+        updates = {
+            name: jnp.pad(
+                getattr(stg, name),
+                [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+            )
+            for name in _PER_SUBGRID_FIELDS
+            if getattr(stg, name) is not None
+        }
+        stg = _dc.replace(stg, **updates)
+    chunks = [
+        _pin_rowmajor(slice_staged(stg, lo, lo + MAX_CHUNK))
+        for lo in range(0, s_pad, MAX_CHUNK)
+    ]
+    jax.block_until_ready(jax.tree_util.tree_leaves(chunks))
+    del stg
+
+    def _one(p, st, sub, lo):
+        # clamped dynamic slice: the tail chunk re-reads trailing rows
+        # instead of padding the (device-produced) subgrid input
+        sub_c = tuple(
+            jax.lax.dynamic_slice_in_dim(v, lo, MAX_CHUNK) for v in sub
+        )
+        return _slim(run_fn(p, st, sub_c))
+
+    run = jax.jit(_one, static_argnums=0)
+
+    def fn(sub):
+        out = None
+        for i, st in enumerate(chunks):
+            out = run(params, st, sub, i * MAX_CHUNK)
+        return out
+
+    return fn, version

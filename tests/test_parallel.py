@@ -307,6 +307,36 @@ def test_grid_add_ranges_matches_scatter(small_params):
             plan_grid_add_ranges(cx_u, cy_u, g, n)
 
 
+def test_grid_extract_ranges_matches_gather(small_params):
+    """The range-window extraction kernel (block-sorted metadata)
+    reproduces the blocked XLA gather, with and without the FFT (the fft
+    path folds the roll-back into conjugate DFT phases)."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.grid import (block_sort_order, grid_to_subgrids,
+                                  grid_to_subgrids_ranges)
+
+    rng = np.random.default_rng(23)
+    s, p, n, g = 31, 4, 16, 64
+    cx = rng.integers(0, g, s).astype(np.int32)
+    cy = rng.integers(0, g, s).astype(np.int32)
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = jnp.asarray(cx[order]), jnp.asarray(cy[order])
+    grid = (
+        jnp.asarray(rng.normal(size=(p, g, g)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(p, g, g)).astype(np.float32)),
+    )
+    for fft in (False, True):
+        a = grid_to_subgrids(grid, cx, cy, n, apply_fft=fft)
+        b = grid_to_subgrids_ranges(grid, cx, cy, n, apply_fft=fft,
+                                    interpret=True)
+        scale = max(float(np.abs(np.asarray(a[0])).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(a[0]) / scale,
+                                   np.asarray(b[0]) / scale, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(a[1]) / scale,
+                                   np.asarray(b[1]) / scale, atol=3e-6)
+
+
 def test_grid_add_ranges_striped(small_params, monkeypatch):
     """Large-grid SMEM striping (MAX_RANGE_BLOCKS) produces the same grid
     as the single-call path."""
