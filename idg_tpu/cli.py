@@ -614,11 +614,26 @@ def cmd_scaling(args) -> int:
             fn = sharded_degridder(params, mesh, version, w_rank=w_rank)
             fargs = (sharded_sobs, jax.device_put(sub_pair))
         else:  # pipeline: gridder + FFT + grid reduction collective
-            fn = sharded_gridder_to_grid(
-                params, mesh, version, grid_sharded=args.grid_sharded,
-                w_rank=w_rank,
-            )
-            fargs = (sharded_sobs,)
+            use_ranges = args.grid_method == "ranges" and not args.distributed
+            if use_ranges:
+                from .parallel.sharded import shard_observation_block_sorted
+
+                (sharded_sobs, _, (tstarts, lens),
+                 rw) = shard_observation_block_sorted(params, sobs, mesh)
+                fn = sharded_gridder_to_grid(
+                    params, mesh, version, grid_sharded=args.grid_sharded,
+                    w_rank=w_rank, grid_method="ranges", range_w=rw,
+                )
+                fargs = (sharded_sobs, tstarts, lens)
+            else:
+                if args.grid_method == "ranges":
+                    print("grid-method ranges: single-process only; "
+                          "using scatter")
+                fn = sharded_gridder_to_grid(
+                    params, mesh, version, grid_sharded=args.grid_sharded,
+                    w_rank=w_rank,
+                )
+                fargs = (sharded_sobs,)
         timing = time_kernel(fn, *fargs, harness=harness)
         rate = mvis / timing.seconds
         if base is None:
@@ -709,6 +724,11 @@ def main(argv=None) -> int:
     p_scal.add_argument("--mesh-sizes", default="1,2,4,8")
     p_scal.add_argument("--grid-sharded", action="store_true",
                         help="pipeline: psum_scatter row-sharded grid")
+    p_scal.add_argument("--grid-method", choices=["scatter", "ranges"],
+                        default="scatter",
+                        help="pipeline grid stage: windowed scatter or the "
+                             "per-shard block-sorted range kernel "
+                             "(single-process meshes)")
     p_scal.add_argument("--distributed", action="store_true",
                         help="initialize jax.distributed (multi-host)")
     p_scal.set_defaults(fn=cmd_scaling)

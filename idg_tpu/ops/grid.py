@@ -572,8 +572,8 @@ def _grid_add_ranges_call(pieces: Pair, plan: GridAddRangePlan,
     if m_pad != range_pad_rows(plan) + 4 * plan.nr_subgrids:
         raise ValueError("pieces must be pre-padded with range_pad_rows")
     n_wblocks = m_pad // w
-    starts = jnp.asarray(np.ascontiguousarray(starts_np).reshape(-1))
-    lens = jnp.asarray(np.ascontiguousarray(lens_np).reshape(-1))
+    starts = jnp.asarray(starts_np).reshape(-1)
+    lens = jnp.asarray(lens_np).reshape(-1)
 
     def kernel(starts_ref, lens_ref, *refs):
         in_refs = refs[:8]
@@ -645,38 +645,41 @@ def _grid_add_ranges_tiles(tiles: Pair, oyx, plan: GridAddRangePlan,
     call — cost ~24 ms of the 67 ms pass (xplane attribution); the
     in-kernel masks are a few extra VPU compares on data already in
     VMEM."""
+    if tiles[0].shape[0] != tile_pad_rows(plan) + plan.nr_subgrids:
+        raise ValueError("tiles must be pre-padded with tile_pad_rows")
     if plan.nbp > MAX_RANGE_BLOCKS:
         stripes = []
         for lo in range(0, plan.nbp, MAX_RANGE_BLOCKS):
             hi = min(lo + MAX_RANGE_BLOCKS, plan.nbp)
             stripes.append(_grid_add_ranges_tiles_call(
-                tiles, oyx, plan, plan.tstarts[:, lo:hi],
-                plan.lens[:, lo:hi], interpret,
+                tiles, oyx, plan.w, plan.subgrid_size,
+                plan.tstarts[:, lo:hi], plan.lens[:, lo:hi], interpret,
             ))
         return tuple(
             jnp.concatenate([s[i] for s in stripes]) for i in range(2)
         )
-    return _grid_add_ranges_tiles_call(tiles, oyx, plan, plan.tstarts,
-                                       plan.lens, interpret)
+    return _grid_add_ranges_tiles_call(
+        tiles, oyx, plan.w, plan.subgrid_size, plan.tstarts, plan.lens,
+        interpret,
+    )
 
 
 _QUADRANTS = ((0, 0), (0, 1), (1, 0), (1, 1))  # matches plan ids order
 
 
-def _grid_add_ranges_tiles_call(tiles: Pair, oyx, plan: GridAddRangePlan,
-                                tstarts_np, lens_np, interpret) -> Pair:
+def _grid_add_ranges_tiles_call(tiles: Pair, oyx, w: int, n: int,
+                                tstarts_in, lens_in, interpret) -> Pair:
+    """Single pallas_call of the tile-range reduction. tstarts_in/lens_in
+    are [4, nbp] tables — host numpy when called with a static plan, or
+    traced arrays inside shard_map (the per-shard mesh path)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     s_pad, eight, d8 = tiles[0].shape
-    w = plan.w
-    n = plan.subgrid_size
-    nbp = tstarts_np.shape[1]
-    if s_pad != tile_pad_rows(plan) + plan.nr_subgrids:
-        raise ValueError("tiles must be pre-padded with tile_pad_rows")
+    nbp = tstarts_in.shape[1]
     n_wblocks = s_pad // w
-    tstarts = jnp.asarray(np.ascontiguousarray(tstarts_np).reshape(-1))
-    lens = jnp.asarray(np.ascontiguousarray(lens_np).reshape(-1))
+    tstarts = jnp.asarray(tstarts_in).reshape(-1)
+    lens = jnp.asarray(lens_in).reshape(-1)
 
     def kernel(ts_ref, ln_ref, *refs):
         tile_refs = refs[0:8]
@@ -964,6 +967,52 @@ def grid_to_subgrids_ranges(
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
     return _phase_roll_fourier(x, cy % n, cx % n, sign=+1.0, shifted=True)
+
+
+def subgrids_to_grid_ranges_local(
+    sub: Pair, coord_x, coord_y, grid_size: int, tstarts, lens, w: int,
+    interpret=None, grid_in: Pair | None = None,
+) -> Pair:
+    """shard_map-body variant of subgrids_to_grid_ranges: the [4, NBp]
+    range tables arrive as TRACED arrays (per-shard values, uniform
+    shapes across the mesh) and w is the mesh-global window size, so one
+    traced program serves every shard. No host-side checks — callers
+    guarantee per-shard block-sorted coords (see
+    parallel.sharded.shard_observation_block_sorted). Returns this
+    shard's PARTIAL [P, G, G] grid pair; the caller reduces with
+    psum / psum_scatter."""
+    from .pallas.common import use_interpret
+
+    if interpret is None:
+        interpret = use_interpret()
+    s, p, n, _ = sub[0].shape
+    g = grid_size
+    d = p * n * n
+    d8 = d // 8
+    cy = coord_y.astype(jnp.int32) % g
+    cx = coord_x.astype(jnp.int32) % g
+    oy, ox = cy % n, cx % n
+    x = _phase_roll_fourier(fftshift2_pair(sub), oy, ox)
+    x = fftshift2_pair(fft2_pair(x, inverse=True))
+    tpad = (-(-s // w) + 1) * w - s
+    z = jnp.zeros((tpad, p, n, n), x[0].dtype)
+    tiles = tuple(
+        jnp.concatenate([v, z]).reshape(s + tpad, 8, d8) for v in x
+    )
+    oyx = jnp.concatenate([
+        jnp.stack([oy, ox], axis=-1).astype(jnp.int32),
+        jnp.zeros((tpad, 2), jnp.int32),
+    ]).reshape(s + tpad, 1, 2)
+    blocks = _grid_add_ranges_tiles_call(tiles, oyx, w, n, tstarts, lens,
+                                         interpret)
+    import types as _types
+
+    shim = _types.SimpleNamespace(nby=g // n, nbx=g // n, subgrid_size=n,
+                                  grid_size=g)
+    return _blocks_to_grid(
+        tuple(b.reshape(tstarts.shape[1], d) for b in blocks), shim, p,
+        grid_in,
+    )
 
 
 def _grid_add_vmem_scatter(pieces: Pair, plan: GridAddPlan, bids: np.ndarray,

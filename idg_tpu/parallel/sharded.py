@@ -63,21 +63,14 @@ def _localize_time_offset(sobs: SplitObservation, params: IDGParams, axes):
     return dataclasses.replace(sobs, metadata=md)
 
 
-def shard_observation(params: IDGParams, sobs: SplitObservation, mesh: Mesh):
-    """Pad the subgrid axis to the mesh size and device_put with the
-    distributed sharding. Returns (sharded_sobs, padded_S).
-
-    Single-process only; the multi-host path is
-    parallel.distributed.distribute_observation (same layout)."""
-    axis = tuple(mesh.axis_names)
-    n_dev = mesh.devices.size
+def _pad_observation(params: IDGParams, sobs: SplitObservation,
+                     n_dev: int):
+    """Zero-pad the subgrid axis to a multiple of n_dev (host)."""
     s = sobs.uvw.shape[0]
     s_pad = pad_to_multiple(s, n_dev)
     t = params.nr_timesteps_subgrid
-
     md = sobs.metadata
-    pad_n = s_pad - s
-    if pad_n:
+    if s_pad != s:
         extra_offsets = (np.arange(s, s_pad, dtype=np.int32)) * t
         md = Metadata(
             time_offset=np.concatenate([np.asarray(md.time_offset), extra_offsets]),
@@ -99,11 +92,96 @@ def shard_observation(params: IDGParams, sobs: SplitObservation, mesh: Mesh):
         at_im=np.asarray(sobs.at_im),
         metadata=md,
     )
+    return padded, s_pad
+
+
+def _put_observation(padded: SplitObservation, mesh: Mesh):
+    axis = tuple(mesh.axis_names)
     shardings = jax.tree.map(
         lambda spec: NamedSharding(mesh, spec), _obs_specs(axis),
         is_leaf=lambda x: isinstance(x, P),
     )
-    return jax.device_put(padded, shardings), s_pad
+    return jax.device_put(padded, shardings)
+
+
+def shard_observation(params: IDGParams, sobs: SplitObservation, mesh: Mesh):
+    """Pad the subgrid axis to the mesh size and device_put with the
+    distributed sharding. Returns (sharded_sobs, padded_S).
+
+    Single-process only; the multi-host path is
+    parallel.distributed.distribute_observation (same layout)."""
+    padded, s_pad = _pad_observation(params, sobs, mesh.devices.size)
+    return _put_observation(padded, mesh), s_pad
+
+
+def shard_observation_block_sorted(params: IDGParams,
+                                   sobs: SplitObservation, mesh: Mesh):
+    """shard_observation + per-shard block-sort of the subgrid axis and
+    the per-shard range tables for the 'ranges' grid stage.
+
+    Each shard's segment is independently sorted by destination grid
+    block (free host permutation; kernels are per-subgrid independent),
+    so every shard sees block-sorted local coords while segments stay
+    contiguous. Requires canonical time offsets (time_offset[s] == s·T,
+    the in-tree layout) — the permuted uvw/vis rows are re-labeled
+    canonically. Returns (sharded_sobs, s_pad, (tstarts, lens) sharded
+    [n_dev, 4, NBp] tables, mesh-global window w)."""
+    import dataclasses as _dc
+
+    from ..ops.common import canonical_time_offsets
+    from ..ops.grid import block_sort_order, plan_grid_add_ranges
+
+    g, n = params.grid_size, params.subgrid_size
+    t = params.nr_timesteps_subgrid
+    padded, s_pad = _pad_observation(params, sobs, mesh.devices.size)
+    if not canonical_time_offsets(padded.metadata, t):
+        raise ValueError(
+            "shard_observation_block_sorted requires canonical time "
+            "offsets (time_offset[s] == s*T) to permute subgrids"
+        )
+    n_dev = mesh.devices.size
+    sl = s_pad // n_dev
+    md = padded.metadata
+    cx = np.asarray(md.coord_x)
+    cy = np.asarray(md.coord_y)
+    order = np.concatenate([
+        i * sl + block_sort_order(cx[i * sl:(i + 1) * sl],
+                                  cy[i * sl:(i + 1) * sl], g, n)
+        for i in range(n_dev)
+    ])
+
+    def perm(a):
+        return np.asarray(a)[order]
+
+    md_sorted = Metadata(
+        time_offset=(np.arange(s_pad, dtype=np.int64) * t).astype(
+            np.asarray(md.time_offset).dtype),
+        nr_timesteps=perm(md.nr_timesteps),
+        aterm_index=perm(md.aterm_index),
+        station1=perm(md.station1),
+        station2=perm(md.station2),
+        coord_x=perm(md.coord_x),
+        coord_y=perm(md.coord_y),
+        coord_z=perm(md.coord_z),
+    )
+    padded = _dc.replace(
+        padded, uvw=perm(padded.uvw), vis_re=perm(padded.vis_re),
+        vis_im=perm(padded.vis_im), metadata=md_sorted,
+    )
+    plans = [
+        plan_grid_add_ranges(
+            md_sorted.coord_x[i * sl:(i + 1) * sl],
+            md_sorted.coord_y[i * sl:(i + 1) * sl], g, n,
+        )
+        for i in range(n_dev)
+    ]
+    w = max(p.w for p in plans)
+    axis = tuple(mesh.axis_names)
+    table_sharding = NamedSharding(mesh, P(axis))
+    tstarts = jax.device_put(
+        np.stack([p.tstarts for p in plans]), table_sharding)
+    lens = jax.device_put(np.stack([p.lens for p in plans]), table_sharding)
+    return _put_observation(padded, mesh), s_pad, (tstarts, lens), w
 
 
 def _kernel_fn(workload: str, version: str, w_rank: int | None):
@@ -159,8 +237,10 @@ def sharded_gridder_to_grid(
     apply_fft: bool = True,
     grid_sharded: bool = False,
     w_rank: int | None = None,
+    grid_method: str = "scatter",
+    range_w: int | None = None,
 ):
-    """jitted fn(sobs_sharded) -> [P, G, G] grid pair.
+    """jitted fn(sobs_sharded[, tstarts, lens]) -> [P, G, G] grid pair.
 
     Full adjoint pipeline across the mesh: local gridder → local subgrid
     iFFT + scatter-add → collective reduction. `grid_sharded=False` returns
@@ -169,6 +249,11 @@ def sharded_gridder_to_grid(
     `grid_sharded=True` returns each chip's row-block via `psum_scatter`
     over the innermost axis (bandwidth-optimal when the grid stays
     distributed), reduced across outer axes by psum.
+
+    grid_method='ranges' runs the block-sorted range-read accumulator per
+    shard (the single-chip fast path): the observation must come from
+    shard_observation_block_sorted, whose [n_dev, 4, NBp] tables and
+    global window `range_w` are passed as the extra fn arguments.
     """
     axis = tuple(mesh.axis_names)
     inner = axis[-1]
@@ -181,17 +266,32 @@ def sharded_gridder_to_grid(
             "grid rows must divide the innermost mesh axis for psum_scatter"
         )
     out_spec = (P(None, inner, None),) * 2 if grid_sharded else (P(), P())
+    use_ranges = grid_method == "ranges"
+    if use_ranges:
+        assert apply_fft and range_w is not None
+        in_specs = (specs, P(axis), P(axis))
+    else:
+        in_specs = (specs,)
 
     @partial(
-        jax.shard_map, mesh=mesh, in_specs=(specs,), out_specs=out_spec,
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
         check_vma=False,
     )
-    def local(sobs):
+    def local(sobs, *tables):
         sobs = _localize_time_offset(sobs, params, axis)
         sub = kernel(params, sobs)
-        grid = subgrids_to_grid(
-            sub, sobs.metadata.coord_x, sobs.metadata.coord_y, g, apply_fft
-        )
+        if use_ranges:
+            from ..ops.grid import subgrids_to_grid_ranges_local
+
+            grid = subgrids_to_grid_ranges_local(
+                sub, sobs.metadata.coord_x, sobs.metadata.coord_y, g,
+                tables[0][0], tables[1][0], range_w,
+            )
+        else:
+            grid = subgrids_to_grid(
+                sub, sobs.metadata.coord_x, sobs.metadata.coord_y, g,
+                apply_fft,
+            )
         if grid_sharded:
             def scatter(x):
                 x = jax.lax.psum_scatter(

@@ -114,6 +114,29 @@ def test_sharded_grid_reduction_matches_local(mesh, par_params, par_obs):
     )
 
 
+def test_sharded_grid_reduction_ranges_matches_scatter(mesh, par_params,
+                                                       par_obs):
+    """The per-shard block-sorted range accumulator + psum equals the
+    scatter-based mesh pipeline (subgrid order is irrelevant to the
+    reduced grid)."""
+    from idg_tpu.parallel.sharded import shard_observation_block_sorted
+
+    sobs = split_observation(par_obs)
+    sharded_sobs, _ = shard_observation(par_params, sobs, mesh)
+    expected = sharded_gridder_to_grid(
+        par_params, mesh, "xla_v2")(sharded_sobs)
+    sorted_sobs, _, (tstarts, lens), w = shard_observation_block_sorted(
+        par_params, sobs, mesh)
+    fn = sharded_gridder_to_grid(
+        par_params, mesh, "xla_v2", grid_method="ranges", range_w=w)
+    got = fn(sorted_sobs, tstarts, lens)
+    scale = max(float(np.abs(np.asarray(expected[0])).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(got[0]) / scale,
+                               np.asarray(expected[0]) / scale, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(got[1]) / scale,
+                               np.asarray(expected[1]) / scale, atol=3e-6)
+
+
 def test_sharded_grid_reduction_scatter_variant(mesh, par_params, par_obs):
     """psum_scatter grid rows concatenate to the psum (replicated) grid."""
     sobs = split_observation(par_obs)
