@@ -63,6 +63,38 @@ def fft2_pair(x: Pair, inverse: bool = False) -> Pair:
     return tuple(jnp.swapaxes(v, -1, -2) for v in y)
 
 
+@lru_cache(maxsize=None)
+def _dft_shift_factors(n: int, inverse: bool):
+    """DFT matrix with BOTH fftshifts folded in as index permutations:
+    Wf[k, y] = Wdft[σ(k), σ(y)], σ(k) = (k + n/2) % n — so
+    fftshift2 → (i)DFT2 → fftshift2 collapses to two plain matmul
+    passes with Wf (each jnp.roll shift pass costs a full read+write of
+    the batch: ~5 ms at the default grid stage)."""
+    j = np.arange(n)
+    s = (j + n // 2) % n
+    sign = 2.0 if inverse else -2.0
+    w = np.exp(sign * 1j * np.pi * np.outer(s, s) / n)
+    if inverse:
+        w = w / n
+    return (
+        np.ascontiguousarray(w.real, dtype=np.float32),
+        np.ascontiguousarray(w.imag, dtype=np.float32),
+    )
+
+
+def fft2_shift_pair(x: Pair, inverse: bool = False) -> Pair:
+    """fftshift2_pair → fft2_pair → fftshift2_pair as two matmul passes
+    (shift permutations folded into the DFT matrices)."""
+    n_last = x[0].shape[-1]
+    n_prev = x[0].shape[-2]
+    wl = _dft_shift_factors(n_last, inverse)
+    wp = _dft_shift_factors(n_prev, inverse)
+    y = _apply_last_axis(x, (jnp.asarray(wl[0]), jnp.asarray(wl[1])))
+    y = tuple(jnp.swapaxes(v, -1, -2) for v in y)
+    y = _apply_last_axis(y, (jnp.asarray(wp[0]), jnp.asarray(wp[1])))
+    return tuple(jnp.swapaxes(v, -1, -2) for v in y)
+
+
 def fftshift2_pair(x: Pair) -> Pair:
     """fftshift over the last two axes (production IDG shifts subgrids
     before the grid add; the cost model's +6 flops/pixel 'shift' term,
@@ -781,14 +813,24 @@ MAX_EXTRACT_SPAN = 64
 
 def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
                              subgrid_size: int,
-                             wc: int = 64) -> GridExtractRangePlan:
+                             wc: int | None = None) -> GridExtractRangePlan:
     """Extraction plan from BLOCK-SORTED host coords (block_sort_order).
 
     Tiles are processed in chunks of wc; within a chunk, every tile's
     quadrant-q source block is its own (unwrapped, periodic-padded) home
     block plus a STATIC offset qy·(nbx+1)+qx, and sorted home blocks are
     monotonic — so one [k_span, ...] window per quadrant covers the whole
-    chunk and the per-tile pick is a static-unrolled select."""
+    chunk and the per-tile pick is a static-unrolled select.
+
+    wc=None auto-tunes: the largest chunk whose window height fits
+    MAX_EXTRACT_SPAN (sparse block occupancy inflates the span — smaller
+    chunks trade step count for window height)."""
+    if wc is None:
+        for cand in (64, 32, 16, 8):
+            plan = plan_grid_extract_ranges(coord_x, coord_y, grid_size,
+                                            subgrid_size, cand)
+            if plan.k_span <= MAX_EXTRACT_SPAN or cand == 8:
+                return plan
     n = subgrid_size
     g = grid_size
     if g % n:
@@ -962,8 +1004,7 @@ def grid_to_subgrids_ranges(
         cy = coord_y.astype(jnp.int32) % g
         cx = coord_x.astype(jnp.int32) % g
         return _roll_tiles(rolled, (n - cy % n) % n, (n - cx % n) % n)
-    x = fft2_pair(fftshift2_pair(rolled), inverse=False)
-    x = fftshift2_pair(x)
+    x = fft2_shift_pair(rolled, inverse=False)
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
     return _phase_roll_fourier(x, cy % n, cx % n, sign=+1.0, shifted=True)
@@ -992,8 +1033,8 @@ def subgrids_to_grid_ranges_local(
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
     oy, ox = cy % n, cx % n
-    x = _phase_roll_fourier(fftshift2_pair(sub), oy, ox)
-    x = fftshift2_pair(fft2_pair(x, inverse=True))
+    x = _phase_roll_fourier(sub, oy, ox, shifted=True)
+    x = fft2_shift_pair(x, inverse=True)
     tpad = (-(-s // w) + 1) * w - s
     z = jnp.zeros((tpad, p, n, n), x[0].dtype)
     tiles = tuple(
@@ -1121,8 +1162,8 @@ def subgrids_to_grid_ranges(
     if apply_fft and plan.nbp <= 2 * s:
         # tile path: roll rides the iDFT as Fourier phases, quadrant
         # masking happens in-kernel — no materialized piece array
-        x = _phase_roll_fourier(fftshift2_pair(sub), oy, ox)
-        x = fftshift2_pair(fft2_pair(x, inverse=True))
+        x = _phase_roll_fourier(sub, oy, ox, shifted=True)
+        x = fft2_shift_pair(x, inverse=True)
         tpad = tile_pad_rows(plan)
         z = jnp.zeros((tpad, p, n, n), x[0].dtype)
         tiles = tuple(
@@ -1140,8 +1181,8 @@ def subgrids_to_grid_ranges(
         # piece kernel instead (measured 58.4 vs 45.8 ms at lofar4096)
         pad = range_pad_rows(plan)
         m_pad = 4 * s + pad
-        x = _phase_roll_fourier(fftshift2_pair(sub), oy, ox)
-        x = fftshift2_pair(fft2_pair(x, inverse=True))
+        x = _phase_roll_fourier(sub, oy, ox, shifted=True)
+        x = fft2_shift_pair(x, inverse=True)
         pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
         blocks = _grid_add_ranges(
             (pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)),
