@@ -362,8 +362,22 @@ def cmd_grid(args) -> int:
             sub = tuple(jax.device_put(np.asarray(v)[order]) for v in sub)
             cx = jax.device_put(cx_s)
             cy = jax.device_put(cy_s)
-            fn = jax.jit(lambda s, x, y: subgrids_to_grid_ranges(
-                s, x, y, g, apply_fft, plan=rplan))
+            if out_gb > 5.0:
+                from .ops.grid import subgrids_to_grid_ranges_streamed
+
+                print(f"grid-add output {out_gb:.1f} GB -> streamed "
+                      f"per-stripe range bands")
+
+                def fn(s, x, y):
+                    re_b, im_b = subgrids_to_grid_ranges_streamed(
+                        s, x, y, g, apply_fft, plan=rplan)
+                    # keep only a corner per band (see the streamed
+                    # scatter path's rationale)
+                    return (tuple(b[:1, :1] for b in re_b),
+                            tuple(b[:1, :1] for b in im_b))
+            else:
+                fn = jax.jit(lambda s, x, y: subgrids_to_grid_ranges(
+                    s, x, y, g, apply_fft, plan=rplan))
         else:
             from .ops.grid import subgrids_to_grid_bucketed
 
@@ -496,8 +510,28 @@ def cmd_pipeline(args) -> int:
         gfn = jax.jit(lambda s: subgrids_to_grid_ranges(
             s, cx, cy, g, apply_fft=True, plan=plan))
 
+        # One explicit S-minor relayout at the stage boundary: the grid
+        # stage's DFT dots want batch-minor input (XLA's preferred layout
+        # for batched [32,32] matmuls), and a single device_put transpose
+        # (~4 ms) beats the per-consumer relayout copies XLA otherwise
+        # inserts inside the module (~15 ms measured at the default size).
+        sub_fmt = None
+        try:
+            from jax.experimental.layout import Format, Layout
+            from jax.sharding import SingleDeviceSharding
+
+            sub_fmt = Format(
+                Layout(major_to_minor=(1, 2, 3, 0)),
+                SingleDeviceSharding(jax.devices()[0]),
+            )
+        except Exception:
+            sub_fmt = None
+
         def pass_fn(*a):
-            return gfn(kfn(*a))
+            sub = kfn(*a)
+            if sub_fmt is not None:
+                sub = jax.device_put(sub, (sub_fmt, sub_fmt))
+            return gfn(sub)
 
         stage_args = kernel_args
         kname = "gridder"

@@ -17,7 +17,7 @@ extension stage. TPU-native design choices:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -1008,6 +1008,77 @@ def grid_to_subgrids_ranges(
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
     return _phase_roll_fourier(x, cy % n, cx % n, sign=+1.0, shifted=True)
+
+
+def subgrids_to_grid_ranges_streamed(
+    sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
+    interpret=None, plan: GridAddRangePlan | None = None,
+):
+    """subgrids_to_grid_ranges for grids near HBM capacity (e.g. 16384²
+    full-pol = 8.6 GB split-pair output): the masked piece array is
+    prepared ONCE in its own jit, then each block-row stripe runs in its
+    own jit producing a [P, rows, G] grid band — peak liveness is the
+    pieces + completed bands + one stripe's transients (a fused pass
+    would hold the [NBp, d] block array AND the assembled grid, ~17 GB).
+
+    Returns (re_bands, im_bands): tuples of [P, rows, G] arrays in row
+    order, deliberately not concatenated (the concat is one more
+    full-grid copy — exactly what OOMs at this scale)."""
+    from .pallas.common import use_interpret
+
+    if interpret is None:
+        interpret = use_interpret()
+    s, p, n, _ = sub[0].shape
+    g = grid_size
+    d = p * n * n
+    d8 = d // 8
+    if plan is None:
+        plan = plan_grid_add_ranges(coord_x, coord_y, grid_size, n)
+    if d % 1024:
+        raise ValueError("streamed ranges needs a lane-divisible payload")
+    pad = range_pad_rows(plan)
+    m_pad = 4 * s + pad
+
+    @jax.jit
+    def prep(sub, coord_x, coord_y):
+        cy = coord_y.astype(jnp.int32) % g
+        cx = coord_x.astype(jnp.int32) % g
+        oy, ox = cy % n, cx % n
+        x = sub
+        if apply_fft:
+            x = _phase_roll_fourier(x, oy, ox, shifted=True)
+            x = fft2_shift_pair(x, inverse=True)
+            pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
+        else:
+            pre, pim = _quadrant_pieces(x, coord_y, coord_x, g)
+            z = jnp.zeros((pad, p, n, n), pre.dtype)
+            pre, pim = jnp.concatenate([pre, z]), jnp.concatenate([pim, z])
+        return pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)
+
+    pieces = prep(sub, coord_x, coord_y)
+    nbx = plan.nbx
+    nb = plan.nby * plan.nbx
+    stripe = max(nbx, (MAX_RANGE_BLOCKS // nbx) * nbx)
+
+    @partial(jax.jit, static_argnums=3)
+    def one_stripe(pieces, st, ln, rows):
+        blocks = _grid_add_ranges_call(pieces, plan, st, ln, interpret)
+        return tuple(
+            b.reshape(rows, nbx, p, n, n)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(p, rows * n, g)
+            for b in blocks
+        )
+
+    re_bands, im_bands = [], []
+    for lo in range(0, nb, stripe):
+        hi = min(lo + stripe, nb)
+        st = jnp.asarray(np.ascontiguousarray(plan.starts[:, lo:hi]))
+        ln = jnp.asarray(np.ascontiguousarray(plan.lens[:, lo:hi]))
+        band = one_stripe(pieces, st, ln, (hi - lo) // nbx)
+        re_bands.append(band[0])
+        im_bands.append(band[1])
+    return tuple(re_bands), tuple(im_bands)
 
 
 def subgrids_to_grid_ranges_local(

@@ -54,6 +54,61 @@ def run_section(params, obs, subgrids, lines, only=None):
         lines.append(line)
 
 
+def grid_stage_section(gate: float = 1e-4):
+    """On-device parity rows: ranges grid-add / grid-extract vs the
+    scatter / gather formulations at a mid-size problem."""
+    import jax
+    import numpy as np
+
+    from idg_tpu import IDGParams
+    from idg_tpu.data import initialize_subgrids, make_perf_observation
+    from idg_tpu.ops.grid import (grid_to_subgrids, grid_to_subgrids_ranges,
+                                  plan_grid_add_ranges,
+                                  plan_grid_extract_ranges,
+                                  sort_observation_blocks, subgrids_to_grid,
+                                  subgrids_to_grid_ranges)
+    from idg_tpu.types import split_complex
+
+    params = IDGParams.from_env(nr_stations=14, grid_size=512)  # S=1820
+    obs = make_perf_observation(params)
+    g, n = params.grid_size, params.subgrid_size
+    obs, order = sort_observation_blocks(obs, g, n)
+    md = obs.metadata
+    cx = jax.device_put(md.coord_x)
+    cy = jax.device_put(md.coord_y)
+    sub = split_complex(initialize_subgrids(
+        params.nr_subgrids, params.nr_correlations, n))
+    sub = tuple(jax.device_put(np.asarray(v)[order]) for v in sub)
+    rows = []
+
+    plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
+    a = jax.jit(lambda s: subgrids_to_grid(s, cx, cy, g, True))(sub)
+    b = jax.jit(lambda s: subgrids_to_grid_ranges(
+        s, cx, cy, g, True, plan=plan))(sub)
+    scale = max(float(np.abs(np.asarray(a[0])).max()), 1e-30)
+    err = max(float(np.abs(np.asarray(a[i]) - np.asarray(b[i])).max())
+              for i in (0, 1)) / scale
+    verdict = "PASSED" if err < gate else "FAILED"
+    rows.append(f"| grid-add (to-grid) | {verdict} | {err:.2e} |")
+    print(rows[-1], flush=True)
+
+    rng = np.random.default_rng(3)
+    grid_pair = jax.device_put(tuple(
+        rng.normal(size=(params.nr_correlations, g, g)).astype(np.float32)
+        for _ in range(2)))
+    eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n)
+    a = jax.jit(lambda gr: grid_to_subgrids(gr, cx, cy, n, True))(grid_pair)
+    b = jax.jit(lambda gr: grid_to_subgrids_ranges(
+        gr, cx, cy, n, True, plan=eplan))(grid_pair)
+    scale = max(float(np.abs(np.asarray(a[0])).max()), 1e-30)
+    err = max(float(np.abs(np.asarray(a[i]) - np.asarray(b[i])).max())
+              for i in (0, 1)) / scale
+    verdict = "PASSED" if err < gate else "FAILED"
+    rows.append(f"| grid-extract (to-subgrids) | {verdict} | {err:.2e} |")
+    print(rows[-1], flush=True)
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="res/VALIDATION.md")
@@ -105,6 +160,20 @@ def main() -> int:
         "|---|---|---|---|",
     ]
     run_section(wparams, wobs, wsub, lines, only)
+
+    lines += [
+        "",
+        "## Grid stage (range kernels vs the windowed scatter/gather)",
+        "",
+        "Block-sorted range-read Pallas kernels vs the lax.scatter_add /",
+        "dynamic-slice formulations, on-device, normalized max-elementwise",
+        "error (the range paths fold the tile roll into DFT phases, so the",
+        "residual is sin/cos rounding; RMS is far below it).",
+        "",
+        "| direction | result | max-rel error |",
+        "|---|---|---|",
+    ]
+    lines += grid_stage_section()
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -360,6 +360,41 @@ def test_grid_extract_ranges_matches_gather(small_params):
                                    np.asarray(b[1]) / scale, atol=3e-6)
 
 
+def test_grid_add_ranges_streamed_matches_fused(small_params, monkeypatch):
+    """The per-stripe-jit streamed ranges formulation (HBM-capacity
+    grids) reassembles to the fused ranges grid, including with stripes
+    forced smaller than the block rows."""
+    import jax.numpy as jnp
+
+    import idg_tpu.ops.grid as grid_mod
+    from idg_tpu.ops.grid import (block_sort_order, subgrids_to_grid_ranges,
+                                  subgrids_to_grid_ranges_streamed)
+
+    rng = np.random.default_rng(5)
+    s, p, n, g = 27, 4, 16, 64
+    cx = rng.integers(0, g, s).astype(np.int32)
+    cy = rng.integers(0, g, s).astype(np.int32)
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = jnp.asarray(cx[order]), jnp.asarray(cy[order])
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    fused = subgrids_to_grid_ranges(sub, cx, cy, g, apply_fft=True,
+                                    interpret=True)
+    monkeypatch.setattr(grid_mod, "MAX_RANGE_BLOCKS", 8)  # 2-row stripes
+    re_b, im_b = subgrids_to_grid_ranges_streamed(sub, cx, cy, g,
+                                                  apply_fft=True,
+                                                  interpret=True)
+    got = (np.concatenate([np.asarray(b) for b in re_b], axis=1),
+           np.concatenate([np.asarray(b) for b in im_b], axis=1))
+    scale = max(float(np.abs(np.asarray(fused[0])).max()), 1.0)
+    np.testing.assert_allclose(got[0] / scale, np.asarray(fused[0]) / scale,
+                               atol=3e-6)
+    np.testing.assert_allclose(got[1] / scale, np.asarray(fused[1]) / scale,
+                               atol=3e-6)
+
+
 def test_grid_add_ranges_striped(small_params, monkeypatch):
     """Large-grid SMEM striping (MAX_RANGE_BLOCKS) produces the same grid
     as the single-call path."""
