@@ -203,3 +203,43 @@ def test_roundtrip_overlapping_matches_composed_golden(small_params, small_obs):
     got = _device_pipeline(small_params, small_obs, "xla_v2", "xla_v2")
     result = check_error(got, expected, verbose=False)
     assert result.passed, f"normalized error {result.mean_error}"
+
+
+def test_staged_degridder_consumer_matches_api(small_params, small_obs):
+    """The pipeline's composable degridder (staged_degridder_consumer)
+    matches run_degridder, on both the single-chunk path and the
+    chunk-sliced path (MAX_CHUNK monkeypatched below S)."""
+    import jax
+
+    import idg_tpu.ops.pallas.degridder as deg_mod
+    from idg_tpu.data import initialize_subgrids
+    from idg_tpu.ops.api import staged_degridder_consumer
+
+    params = small_params
+    obs = small_obs
+    s = params.nr_subgrids
+    subgrids = initialize_subgrids(s, params.nr_correlations,
+                                   params.subgrid_size)
+    expected = run_degridder(params, obs, subgrids, version="pallas_v4")
+    sub_pair = tuple(jax.device_put(v) for v in split_complex(subgrids))
+
+    fn, rv = staged_degridder_consumer(params, obs, "pallas_v4")
+    got = fn(sub_pair)
+    got0 = combine_complex(np.asarray(got[0]), np.asarray(got[1]))[0]
+    assert check_error(got0, np.asarray(expected)[0], verbose=False).passed
+
+    chunk = max(1, s // 2)
+    orig = deg_mod.MAX_CHUNK
+    deg_mod.MAX_CHUNK = chunk
+    try:
+        fn_c, _ = staged_degridder_consumer(params, obs, "pallas_v4")
+        got_c = fn_c(sub_pair)
+    finally:
+        deg_mod.MAX_CHUNK = orig
+    # chunked fn returns the LAST chunk's leading row = global subgrid
+    # index of that chunk's first element
+    n_chunks = -(-s // chunk)
+    idx = (n_chunks - 1) * chunk
+    got_row = combine_complex(np.asarray(got_c[0]), np.asarray(got_c[1]))[0]
+    assert check_error(got_row, np.asarray(expected)[idx],
+                       verbose=False).passed
