@@ -144,3 +144,45 @@ def test_cli_grid_stage_pallas(tmp_path):
     proc = _run(["grid", "--method", "pallas"], extra_env=env)
     assert proc.returncode == 0, proc.stderr
     assert list(tmp_path.glob("*grid_add_pallas-tpu.csv"))
+
+
+def test_cli_grid_stage_ranges_and_extract(tmp_path):
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["grid", "--method", "ranges"], extra_env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert "range plan" in proc.stdout
+    assert list(tmp_path.glob("*grid_add_ranges-tpu.csv"))
+    proc = _run(["grid", "--direction", "to-subgrids", "--method", "ranges"],
+                extra_env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*grid_extract_ranges-tpu.csv"))
+
+
+def test_cli_pipeline_both_directions(tmp_path):
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["pipeline", "--version", "xla_v2"], extra_env=env,
+                timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert "stage split" in proc.stdout
+    assert list(tmp_path.glob("*pipeline_xla_v2-tpu.csv"))
+    proc = _run(["pipeline", "--direction", "degrid"], extra_env=env,
+                timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*pipeline_degrid_pallas_*-tpu.csv"))
+
+
+def test_cli_scaling_pipeline_ranges():
+    env = dict(
+        SMALL_ENV,
+        NR_TIMESLOTS="4",
+        NR_STATIONS="5",
+        NR_WINDOWS="2",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    proc = _run(
+        ["scaling", "--workload", "pipeline", "--version", "xla_v2",
+         "--mesh-sizes", "8", "--grid-method", "ranges"],
+        extra_env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "MVis/s" in proc.stdout
