@@ -885,7 +885,8 @@ def _kernel_polstack_batch(aidx, st1, st2,
                            sub_re_ref, sub_im_ref, sph_ref,
                            *rest,
                            V, N, T, C, w_rank, precisions, batch, ablate="",
-                           cfold=False, qsplit=False):
+                           cfold=False, qsplit=False, hswap=False,
+                           sstore=False):
     """v6's body unrolled over `batch` subgrids per grid step (see
     gridder pallas_v6 for the amortization rationale).
 
@@ -911,9 +912,30 @@ def _kernel_polstack_batch(aidx, st1, st2,
     tiny [4N, 4N] lhs instead of building the big [4N, 2V] rhb. Same
     four split products in the same f32 accumulation grouping →
     bit-identical results; saves ~18·N·V VPU op-equivalents per subgrid
-    of concat/convert traffic on a VPU-bound kernel."""
+    of concat/convert traffic on a VPU-bound kernel.
+
+    `hswap=True` (round-3): qsplit's dot identity WITHOUT its quadrant
+    RHS assembly — rha = [rh; rl] is built the standard way (full-array
+    f32 concat + hi/lo split, no sub-tile bf16 packing), and the second
+    "3x2k" pass swaps the halves of the tiny lhs instead of building the
+    [4N, 2V] rhb (d([lh|ll],[rl;rh]) ≡ d([ll|lh],[rh;rl]), bit-identical:
+    a simultaneous K-permutation of both operands). Saves one [4N, 2V]
+    bf16 concat per subgrid.
+
+    `sstore=True` (round-3): the channel loop stores the recurrence
+    phasor directly into the four quadrants of a [2N, 2V] f32 rhs
+    scratch ([[Φx_re, −Φx_im], [Φx_im, Φx_re]]) instead of two [N, V]
+    Φx planes, so the big f32 rhs concat is never materialized; the
+    cfold rank scale reads Φx back as quadrant slices. Same values in
+    the same positions → bit-identical."""
     at_refs = rest[:4 * batch]
-    out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = rest[4 * batch:]
+    if sstore:
+        out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = rest[4 * batch:]
+        phxr_s = phxi_s = None
+    else:
+        out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = \
+            rest[4 * batch:]
+        rhs_s = None
     sph = sph_ref[...]
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
@@ -951,15 +973,25 @@ def _kernel_polstack_batch(aidx, st1, st2,
             lo = c * T
             phyr_s[:, lo:lo + T] = cy_re
             phyi_s[:, lo:lo + T] = cy_im
-            phxr_s[:, lo:lo + T] = cx_re
-            phxi_s[:, lo:lo + T] = cx_im
+            if sstore:
+                rhs_s[0:N, lo:lo + T] = cx_re
+                rhs_s[0:N, V + lo:V + lo + T] = -cx_im
+                rhs_s[N:2 * N, lo:lo + T] = cx_im
+                rhs_s[N:2 * N, V + lo:V + lo + T] = cx_re
+            else:
+                phxr_s[:, lo:lo + T] = cx_re
+                phxi_s[:, lo:lo + T] = cx_im
             if c + 1 < C and ablate != "no_recur":
                 cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
                 cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
         phy_re = phyr_s[...]
         phy_im = phyi_s[...]
-        phx_re = phxr_s[...]
-        phx_im = phxi_s[...]
+        if sstore:
+            phx_re = rhs_s[0:N, 0:V]
+            phx_im = rhs_s[N:2 * N, 0:V]
+        else:
+            phx_re = phxr_s[...]
+            phx_im = phxi_s[...]
 
         if qsplit:
             xh_re = phx_re.astype(jnp.bfloat16)
@@ -979,20 +1011,27 @@ def _kernel_polstack_batch(aidx, st1, st2,
             def dot0(lhs_, mode_):
                 return _polstack_dot_q(lhs_, rha, mode_)
         else:
-            rhs = jnp.concatenate(
-                [
-                    jnp.concatenate([phx_re, -phx_im], axis=1),
-                    jnp.concatenate([phx_im, phx_re], axis=1),
-                ],
-                axis=0,
-            )
+            if sstore:
+                rhs = rhs_s[...]
+            else:
+                rhs = jnp.concatenate(
+                    [
+                        jnp.concatenate([phx_re, -phx_im], axis=1),
+                        jnp.concatenate([phx_im, phx_re], axis=1),
+                    ],
+                    axis=0,
+                )
             rh = rhs.astype(jnp.bfloat16)
             rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
             rha = jnp.concatenate([rh, rl], axis=0)
-            rhb = jnp.concatenate([rl, rh], axis=0)
+            if hswap:
+                def dot0(lhs_, mode_):
+                    return _polstack_dot_q(lhs_, rha, mode_)
+            else:
+                rhb = jnp.concatenate([rl, rh], axis=0)
 
-            def dot0(lhs_, mode_):
-                return _polstack_dot(lhs_, rha, rhb, rh, mode_)
+                def dot0(lhs_, mode_):
+                    return _polstack_dot(lhs_, rha, rhb, rh, mode_)
         mu = mur_ref[b]
         rows_re = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
         rows_im = [jnp.zeros((1, V), jnp.float32) for _ in range(P_POLS)]
@@ -1053,12 +1092,15 @@ def _kernel_polstack_batch(aidx, st1, st2,
                     )
                     rh_r = rhs_r.astype(jnp.bfloat16)
                     rl_r = (rhs_r - rh_r.astype(jnp.float32)).astype(jnp.bfloat16)
-                    prod = _polstack_dot(
-                        lhs,
-                        jnp.concatenate([rh_r, rl_r], axis=0),
-                        jnp.concatenate([rl_r, rh_r], axis=0),
-                        rh_r, mode,
-                    )
+                    rha_r = jnp.concatenate([rh_r, rl_r], axis=0)
+                    if hswap:
+                        prod = _polstack_dot_q(lhs, rha_r, mode)
+                    else:
+                        prod = _polstack_dot(
+                            lhs, rha_r,
+                            jnp.concatenate([rl_r, rh_r], axis=0),
+                            rh_r, mode,
+                        )
             else:
                 prod = dot0(lhs, mode)
             if cfold:
@@ -1098,7 +1140,8 @@ def _kernel_polstack_batch(aidx, st1, st2,
 
 def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
                                   interpret, batch: int = 4, ablate: str = "",
-                                  cfold: bool = False, qsplit: bool = False):
+                                  cfold: bool = False, qsplit: bool = False,
+                                  hswap: bool = False, sstore: bool = False):
     import dataclasses as _dc
 
     from .common import _PER_SUBGRID_FIELDS
@@ -1127,7 +1170,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=B, ablate=ablate, cfold=cfold,
-        qsplit=qsplit,
+        qsplit=qsplit, hswap=hswap, sstore=sstore,
     )
 
     def at_spec(sel, b):
@@ -1164,12 +1207,11 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
             pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((N, V), jnp.float32),
-            pltpu.VMEM((N, V), jnp.float32),
-            pltpu.VMEM((N, V), jnp.float32),
-            pltpu.VMEM((N, V), jnp.float32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((N, V), jnp.float32)] * 2
+            + ([pltpu.VMEM((2 * N, 2 * V), jnp.float32)] if sstore
+               else [pltpu.VMEM((N, V), jnp.float32)] * 2)
+        ),
     )
     out_shape = (
         jax.ShapeDtypeStruct((s_pad, P_POLS, V), jnp.float32),
@@ -1211,11 +1253,12 @@ def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
 
 def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                w_rank: int = 2, batch: int = 8,
-                               cfold: bool = True, qsplit: bool = False):
+                               cfold: bool = True, qsplit: bool = False,
+                               hswap: bool = False, sstore: bool = False):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
-        qsplit,
+        qsplit, hswap, sstore,
     )
 
 
@@ -1241,8 +1284,10 @@ def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
 
 def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
                                batch: int = 8, w_rank: int = 1,
-                               qsplit: bool = False):
+                               qsplit: bool = False, hswap: bool = False,
+                               sstore: bool = False):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
-        w_rank, ("3x2k",), interpret, batch, qsplit=qsplit,
+        w_rank, ("3x2k",), interpret, batch, qsplit=qsplit, hswap=hswap,
+        sstore=sstore,
     )

@@ -47,9 +47,16 @@ def test_degridder_pallas_vs_golden(version, small_params, small_obs, golden_deg
     assert result.passed, f"{version}: error {result.mean_error}"
 
 
-def test_degridder_qsplit_bit_identical(small_params, small_obs, golden_degridder):
-    """The qsplit RHS assembly (quadrant bf16 splits + lhs-half-swap
-    instead of rhb) computes the same four split products in the same f32
+@pytest.mark.parametrize("alt", [
+    dict(qsplit=True), dict(hswap=True), dict(sstore=True),
+    dict(hswap=True, sstore=True),
+])
+def test_degridder_schedule_bit_identical(alt, small_params, small_obs,
+                                          golden_degridder):
+    """The VPU-diet schedules rearrange data movement only — qsplit
+    (quadrant bf16 splits + lhs-half-swap), hswap (half-swap with the
+    standard RHS assembly), sstore (channel loop stores straight into the
+    rhs quadrants) all compute the same split products in the same f32
     accumulation grouping — results must match the default path exactly,
     for both the general-w (v7, cfold) and w-free (v8) schedules."""
     import numpy as np
@@ -68,7 +75,7 @@ def test_degridder_qsplit_bit_identical(small_params, small_obs, golden_degridde
         (degridder_pallas_v8_staged, dict(w_rank=1)),
     ]:
         base = fn(small_params, stg, spair, interpret=True, **kw)
-        fast = fn(small_params, stg, spair, interpret=True, qsplit=True, **kw)
+        fast = fn(small_params, stg, spair, interpret=True, **alt, **kw)
         np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(fast[0]))
         np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(fast[1]))
 
