@@ -66,19 +66,22 @@ def fft2_pair(x: Pair, inverse: bool = False) -> Pair:
 @lru_cache(maxsize=None)
 def _dft_shift_factors(n: int, inverse: bool):
     """DFT matrix with BOTH fftshifts folded in as index permutations:
-    Wf[k, y] = Wdft[σ(k), σ(y)], σ(k) = (k + n/2) % n — so
-    fftshift2 → (i)DFT2 → fftshift2 collapses to two plain matmul
-    passes with Wf (each jnp.roll shift pass costs a full read+write of
-    the batch: ~5 ms at the default grid stage)."""
+    Wf[k, y] = Wdft[σ_out(k), σ_in(y)] with σ_in(y) = (y + n//2) % n
+    (the pre-shift) and σ_out(k) = (k − n//2) % n (the post-shift, the
+    inverse permutation — identical for even n) — so fftshift2 →
+    (i)DFT2 → fftshift2 collapses to two plain matmul passes with Wf
+    (each jnp.roll shift pass costs a full read+write of the batch:
+    ~5 ms at the default grid stage)."""
+    re, im = _dft_factors(n, inverse)
     j = np.arange(n)
-    s = (j + n // 2) % n
-    sign = 2.0 if inverse else -2.0
-    w = np.exp(sign * 1j * np.pi * np.outer(s, s) / n)
-    if inverse:
-        w = w / n
+    s_in = (j + n // 2) % n
+    s_out = (j - n // 2) % n
+    # _apply_last_axis contracts x[..., j]·w[j, k]: rows are the INPUT
+    # index (pre-shift permutation), columns the OUTPUT (post-shift)
+    sel = np.ix_(s_in, s_out)
     return (
-        np.ascontiguousarray(w.real, dtype=np.float32),
-        np.ascontiguousarray(w.imag, dtype=np.float32),
+        np.ascontiguousarray(re[sel]),
+        np.ascontiguousarray(im[sel]),
     )
 
 
@@ -280,6 +283,8 @@ class GridAddPlan:
     @property
     def slot_inflation(self) -> float:
         """Padded slots per real piece — the dense path's waste factor."""
+        if self.nr_subgrids == 0:
+            return float("nan")
         return self.slots.size / float(4 * self.nr_subgrids)
 
 
@@ -410,11 +415,10 @@ def _phase_roll_fourier(sub: Pair, oy, ox, sign: float = -1.0,
     return (re * pc - im * ps, re * ps + im * pc)
 
 
-def _blocks_to_grid(blocks: Pair, plan: GridAddPlan, p: int,
-                    grid_in: Pair | None) -> Pair:
+def _blocks_to_grid(blocks: Pair, nby: int, nbx: int, n: int, g: int,
+                    p: int, grid_in: Pair | None) -> Pair:
     """Lay summed [NBp, P·N·N] blocks into the [P, G, G] grid (pure
     reshape/transpose — blocks tile the grid exactly)."""
-    nby, nbx, n, g = plan.nby, plan.nbx, plan.subgrid_size, plan.grid_size
     out = []
     for i, v in enumerate(blocks):
         gr = (v[:nby * nbx]
@@ -448,7 +452,8 @@ def subgrids_to_grid_bucketed(
         rows = jnp.concatenate([v.reshape(4 * s, d),
                                 jnp.zeros((1, d), v.dtype)])
         blocks.append(rows[slots].sum(axis=1))
-    return _blocks_to_grid(tuple(blocks), plan, p, grid_in)
+    return _blocks_to_grid(tuple(blocks), plan.nby, plan.nbx,
+                           plan.subgrid_size, plan.grid_size, p, grid_in)
 
 
 VMEM_GRID_LIMIT = 32 * 1024 * 1024
@@ -553,12 +558,18 @@ def plan_grid_add_ranges(coord_x, coord_y, grid_size: int,
     )
 
 
+def _pad_to_windows(m: int, w: int) -> int:
+    """Zero rows to append to an m-row array so every window a range
+    kernel can address (start//w and start//w + 1) is a valid whole
+    block of W rows — the single source of the kernels' in-bounds
+    guarantee."""
+    return (-(-m // w) + 1) * w - m
+
+
 def range_pad_rows(plan: GridAddRangePlan) -> int:
-    """Zero rows to append to the [4S, ...] piece array so every window
-    the range kernel can address (start//w and start//w + 1) is a valid
-    whole block of W rows."""
-    m = 4 * plan.nr_subgrids
-    return (-(-m // plan.w) + 1) * plan.w - m
+    """Window padding for the [4S, ...] PIECE array (see
+    _pad_to_windows)."""
+    return _pad_to_windows(4 * plan.nr_subgrids, plan.w)
 
 
 # Scalar-prefetch SMEM budget: 4·nbp int32 per table, two tables, 1 MB
@@ -661,8 +672,7 @@ def tile_pad_rows(plan: GridAddRangePlan) -> int:
     """Zero rows to append to the [S, ...] TILE array so every window the
     tile-range kernel can address (tstart//w and tstart//w + 1) is a
     valid whole block of W rows."""
-    s = plan.nr_subgrids
-    return (-(-s // plan.w) + 1) * plan.w - s
+    return _pad_to_windows(plan.nr_subgrids, plan.w)
 
 
 def _grid_add_ranges_tiles(tiles: Pair, oyx, plan: GridAddRangePlan,
@@ -824,13 +834,8 @@ def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
 
     wc=None auto-tunes: the largest chunk whose window height fits
     MAX_EXTRACT_SPAN (sparse block occupancy inflates the span — smaller
-    chunks trade step count for window height)."""
-    if wc is None:
-        for cand in (64, 32, 16, 8):
-            plan = plan_grid_extract_ranges(coord_x, coord_y, grid_size,
-                                            subgrid_size, cand)
-            if plan.k_span <= MAX_EXTRACT_SPAN or cand == 8:
-                return plan
+    chunks trade step count for window height); the base ids are built
+    once and only the cheap span computation repeats per candidate."""
     n = subgrid_size
     g = grid_size
     if g % n:
@@ -847,13 +852,24 @@ def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
             "(apply block_sort_order to the metadata first)"
         )
     base_u = by * (nbx + 1) + bx                     # unwrapped padded ids
-    n_chunks = max(1, -(-s // wc))
-    s_pad = n_chunks * wc
-    base_pad = np.concatenate([base_u, np.full(s_pad - s, base_u[-1] if s
-                                               else 0, np.int64)])
-    qb0 = base_pad[::wc].astype(np.int32)            # [n_chunks]
-    rel = base_pad - np.repeat(qb0, wc)
-    k_span = int(rel.max()) + 1 if s else 1
+
+    def span_for(w):
+        n_chunks = max(1, -(-s // w))
+        s_pad = n_chunks * w
+        base_pad = np.concatenate([base_u, np.full(s_pad - s, base_u[-1]
+                                                   if s else 0, np.int64)])
+        qb0 = base_pad[::w].astype(np.int32)         # [n_chunks]
+        rel = base_pad - np.repeat(qb0, w)
+        k_span = int(rel.max()) + 1 if s else 1
+        return n_chunks, s_pad, qb0, rel, k_span
+
+    if wc is None:
+        for wc in (64, 32, 16, 8):
+            n_chunks, s_pad, qb0, rel, k_span = span_for(wc)
+            if k_span <= MAX_EXTRACT_SPAN or wc == 8:
+                break
+    else:
+        n_chunks, s_pad, qb0, rel, k_span = span_for(wc)
     tmeta = np.zeros((s_pad, 1, 4), np.int32)
     tmeta[:s, 0, 0] = rel[:s]
     tmeta[:s, 0, 1] = cy % n
@@ -990,9 +1006,14 @@ def grid_to_subgrids_ranges(
     n = subgrid_size
     p, g, _ = grid[0].shape
     d = p * n * n
+    # check the payload guard BEFORE planning: the fallback path needs no
+    # block-sorted coords (and works on traced coords), so planning first
+    # would raise on inputs the contract promises to fall back on
+    if d % 1024:
+        return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     if plan is None:
         plan = plan_grid_extract_ranges(coord_x, coord_y, g, n)
-    if d % 1024 or plan.k_span > MAX_EXTRACT_SPAN:
+    if plan.k_span > MAX_EXTRACT_SPAN:
         return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     s = plan.nr_subgrids
     blocks = _grid_to_blocks_padded(grid, n, plan.k_span)
@@ -1008,6 +1029,51 @@ def grid_to_subgrids_ranges(
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
     return _phase_roll_fourier(x, cy % n, cx % n, sign=+1.0, shifted=True)
+
+
+@lru_cache(maxsize=8)
+def _ranges_streamed_fns(g: int, p: int, n: int, s: int, apply_fft: bool,
+                         w: int, nr_subgrids: int, nbx: int,
+                         interpret: bool):
+    """Cached jitted (prep, one_stripe) for the streamed ranges path —
+    keyed on the static problem shape so repeated calls (e.g. the CLI
+    bench's timing reps) reuse ONE traced program instead of re-tracing
+    fresh closures every invocation. The plan's arrays enter one_stripe
+    as arguments; only w/nr_subgrids (the pad geometry) are baked in via
+    a starts/lens-free shim plan."""
+    d = p * n * n
+    d8 = d // 8
+    shim = GridAddRangePlan(None, None, w, 0, nbx, 0, nr_subgrids, g, n)
+    pad = range_pad_rows(shim)
+    m_pad = 4 * s + pad
+
+    @jax.jit
+    def prep(sub, coord_x, coord_y):
+        cy = coord_y.astype(jnp.int32) % g
+        cx = coord_x.astype(jnp.int32) % g
+        oy, ox = cy % n, cx % n
+        x = sub
+        if apply_fft:
+            x = _phase_roll_fourier(x, oy, ox, shifted=True)
+            x = fft2_shift_pair(x, inverse=True)
+            pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
+        else:
+            pre, pim = _quadrant_pieces(x, coord_y, coord_x, g)
+            z = jnp.zeros((pad, p, n, n), pre.dtype)
+            pre, pim = jnp.concatenate([pre, z]), jnp.concatenate([pim, z])
+        return pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)
+
+    @partial(jax.jit, static_argnums=3)
+    def one_stripe(pieces, st, ln, rows):
+        blocks = _grid_add_ranges_call(pieces, shim, st, ln, interpret)
+        return tuple(
+            b.reshape(rows, nbx, p, n, n)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(p, rows * n, g)
+            for b in blocks
+        )
+
+    return prep, one_stripe
 
 
 def subgrids_to_grid_ranges_streamed(
@@ -1031,45 +1097,18 @@ def subgrids_to_grid_ranges_streamed(
     s, p, n, _ = sub[0].shape
     g = grid_size
     d = p * n * n
-    d8 = d // 8
     if plan is None:
         plan = plan_grid_add_ranges(coord_x, coord_y, grid_size, n)
     if d % 1024:
         raise ValueError("streamed ranges needs a lane-divisible payload")
-    pad = range_pad_rows(plan)
-    m_pad = 4 * s + pad
-
-    @jax.jit
-    def prep(sub, coord_x, coord_y):
-        cy = coord_y.astype(jnp.int32) % g
-        cx = coord_x.astype(jnp.int32) % g
-        oy, ox = cy % n, cx % n
-        x = sub
-        if apply_fft:
-            x = _phase_roll_fourier(x, oy, ox, shifted=True)
-            x = fft2_shift_pair(x, inverse=True)
-            pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
-        else:
-            pre, pim = _quadrant_pieces(x, coord_y, coord_x, g)
-            z = jnp.zeros((pad, p, n, n), pre.dtype)
-            pre, pim = jnp.concatenate([pre, z]), jnp.concatenate([pim, z])
-        return pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)
-
+    prep, one_stripe = _ranges_streamed_fns(
+        g, p, n, s, apply_fft, plan.w, plan.nr_subgrids, plan.nbx,
+        interpret,
+    )
     pieces = prep(sub, coord_x, coord_y)
     nbx = plan.nbx
     nb = plan.nby * plan.nbx
     stripe = max(nbx, (MAX_RANGE_BLOCKS // nbx) * nbx)
-
-    @partial(jax.jit, static_argnums=3)
-    def one_stripe(pieces, st, ln, rows):
-        blocks = _grid_add_ranges_call(pieces, plan, st, ln, interpret)
-        return tuple(
-            b.reshape(rows, nbx, p, n, n)
-            .transpose(2, 0, 3, 1, 4)
-            .reshape(p, rows * n, g)
-            for b in blocks
-        )
-
     re_bands, im_bands = [], []
     for lo in range(0, nb, stripe):
         hi = min(lo + stripe, nb)
@@ -1106,7 +1145,7 @@ def subgrids_to_grid_ranges_local(
     oy, ox = cy % n, cx % n
     x = _phase_roll_fourier(sub, oy, ox, shifted=True)
     x = fft2_shift_pair(x, inverse=True)
-    tpad = (-(-s // w) + 1) * w - s
+    tpad = _pad_to_windows(s, w)
     z = jnp.zeros((tpad, p, n, n), x[0].dtype)
     tiles = tuple(
         jnp.concatenate([v, z]).reshape(s + tpad, 8, d8) for v in x
@@ -1115,14 +1154,26 @@ def subgrids_to_grid_ranges_local(
         jnp.stack([oy, ox], axis=-1).astype(jnp.int32),
         jnp.zeros((tpad, 2), jnp.int32),
     ]).reshape(s + tpad, 1, 2)
-    blocks = _grid_add_ranges_tiles_call(tiles, oyx, w, n, tstarts, lens,
-                                         interpret)
-    import types as _types
-
-    shim = _types.SimpleNamespace(nby=g // n, nbx=g // n, subgrid_size=n,
-                                  grid_size=g)
+    nbp = tstarts.shape[1]
+    if nbp > MAX_RANGE_BLOCKS:
+        # stripe the block axis to bound the SMEM scalar tables (same
+        # budget as _grid_add_ranges_tiles; the tables are traced here
+        # but their SHAPES are static, so static-bound slices work)
+        stripes = []
+        for lo in range(0, nbp, MAX_RANGE_BLOCKS):
+            hi = min(lo + MAX_RANGE_BLOCKS, nbp)
+            stripes.append(_grid_add_ranges_tiles_call(
+                tiles, oyx, w, n, tstarts[:, lo:hi], lens[:, lo:hi],
+                interpret,
+            ))
+        blocks = tuple(
+            jnp.concatenate([st[i] for st in stripes]) for i in range(2)
+        )
+    else:
+        blocks = _grid_add_ranges_tiles_call(tiles, oyx, w, n, tstarts,
+                                             lens, interpret)
     return _blocks_to_grid(
-        tuple(b.reshape(tstarts.shape[1], d) for b in blocks), shim, p,
+        tuple(b.reshape(nbp, d) for b in blocks), g // n, g // n, n, g, p,
         grid_in,
     )
 
@@ -1270,7 +1321,8 @@ def subgrids_to_grid_ranges(
             plan, interpret,
         )
     return _blocks_to_grid(
-        tuple(b.reshape(plan.nbp, d) for b in blocks), plan, p, grid_in
+        tuple(b.reshape(plan.nbp, d) for b in blocks), plan.nby, plan.nbx,
+        plan.subgrid_size, plan.grid_size, p, grid_in,
     )
 
 
@@ -1337,13 +1389,19 @@ def subgrids_to_grid_pallas(
     m = 4 * s
     if mode == "auto":
         mode = ("vmem" if nbp * d * 4 <= VMEM_GRID_LIMIT else "gather")
+    if mode == "vmem" and plan.piece_blocks is None:
+        # a hand-built/deserialized plan without the vmem kernel's
+        # routing input — take the gather formulation instead of failing
+        # deep inside _grid_add_vmem_scatter with a broadcast error
+        mode = "gather"
     if mode == "vmem":
         blocks = _grid_add_vmem_scatter(
             (pre.reshape(m, 8, d8), pim.reshape(m, 8, d8)),
             plan, plan.piece_blocks, interpret,
         )
         return _blocks_to_grid(
-            tuple(b.reshape(nbp, d) for b in blocks), plan, p, grid_in
+            tuple(b.reshape(nbp, d) for b in blocks), plan.nby, plan.nbx,
+            plan.subgrid_size, plan.grid_size, p, grid_in,
         )
     K = rows_per_step
     cap_k = -(-cap // K)
@@ -1400,4 +1458,5 @@ def subgrids_to_grid_pallas(
             ),
         )(slots_dev, *([rows] * K))
         blocks.append(out.reshape(nbp, d))
-    return _blocks_to_grid(tuple(blocks), plan, p, grid_in)
+    return _blocks_to_grid(tuple(blocks), plan.nby, plan.nbx,
+                           plan.subgrid_size, plan.grid_size, p, grid_in)

@@ -211,6 +211,26 @@ def test_fft_matmul_matches_numpy(par_params):
     )
 
 
+def test_fft_shift_pair_folds_both_shifts(par_params):
+    """fft2_shift_pair == fftshift → (i)DFT → fftshift for even AND odd n
+    (odd n exercises the distinct output-side permutation — regression
+    for the σ_out = σ_in assumption that only holds for even n)."""
+    from idg_tpu.ops.grid import fft2_pair, fft2_shift_pair, fftshift2_pair
+
+    rng = np.random.default_rng(11)
+    for n in (7, 16):
+        x = split_complex(
+            (rng.standard_normal((2, n, n))
+             + 1j * rng.standard_normal((2, n, n))).astype(np.complex64))
+        for inverse in (False, True):
+            got = fft2_shift_pair(x, inverse=inverse)
+            want = fftshift2_pair(fft2_pair(fftshift2_pair(x),
+                                            inverse=inverse))
+            for i in (0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(got[i]), np.asarray(want[i]), atol=1e-4)
+
+
 def test_scatter_gather_inverse(par_params):
     """grid_to_subgrids(subgrids_to_grid(x)) recovers x for disjoint tiles
     (no FFT, coords on a disjoint lattice)."""
