@@ -105,13 +105,25 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
         from .types import split_complex, split_observation
 
         mesh = make_mesh(mesh_size)
-        sharded_sobs, _ = shard_observation(params, split_observation(obs), mesh)
+        sharded_sobs, s_pad = shard_observation(
+            params, split_observation(obs), mesh)
         if workload == "gridder":
             fn = sharded_gridder(params, mesh, rversion, w_rank=rw_rank)
             args = (sharded_sobs,)
         else:
+            # pad the subgrid pair to the observation's padded row count
+            # (shard_map needs matching, mesh-divisible leading axes)
+            spair = split_complex(subgrids)
+            s = spair[0].shape[0]
+            if s_pad != s:
+                import numpy as np
+                spair = tuple(
+                    np.pad(np.asarray(v),
+                           [(0, s_pad - s)] + [(0, 0)] * (v.ndim - 1))
+                    for v in spair
+                )
             fn = sharded_degridder(params, mesh, rversion, w_rank=rw_rank)
-            args = (sharded_sobs, jax.device_put(split_complex(subgrids)))
+            args = (sharded_sobs, jax.device_put(spair))
     else:
         fn, args = staged_runner(
             workload, rversion, params, obs, subgrids, w_rank=rw_rank
@@ -120,7 +132,8 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
     timing = time_kernel(fn, *args, harness=harness)
     gflops, gbytes, mvis = workload_costs(params)
     fb = "_fb" if rversion != version else ""
-    name = f"{workload}_{rversion}{fb}{name_suffix}"
+    mtag = f"_mesh{mesh_size}" if mesh_size else ""
+    name = f"{workload}_{rversion}{fb}{mtag}{name_suffix}"
     dev = device_name()
     from .utils.roofline import roofline_fraction
 
@@ -170,6 +183,10 @@ def cmd_run(args) -> int:
         _perf_one(args.workload, args.version, args.mesh, args.w_rank,
                   w_obs=args.w_obs, name_suffix=args.suffix)
         return 0
+    if args.mesh:
+        print("warning: --mesh is a perf-mode option; check mode validates "
+              "the single-device kernel (the sharded paths are validated "
+              "by tests/test_parallel.py on a virtual mesh)")
     ok = _check_one(args.workload, args.version)
     return 0 if ok else 1
 
@@ -350,12 +367,12 @@ def cmd_grid(args) -> int:
             # range and the kernel is pure static-window DMA.
             import numpy as np
 
-            from .ops.grid import (block_sort_order, plan_grid_add_ranges,
+            from .ops.grid import (plan_grid_add_ranges,
+                                   sorted_block_coords,
                                    subgrids_to_grid_ranges)
 
-            order = block_sort_order(md.coord_x, md.coord_y, g, n)
-            cx_s = np.asarray(md.coord_x)[order]
-            cy_s = np.asarray(md.coord_y)[order]
+            order, cx_s, cy_s = sorted_block_coords(md.coord_x, md.coord_y,
+                                                    g, n)
             rplan = plan_grid_add_ranges(cx_s, cy_s, g, n)
             print(f"grid-add range plan: {rplan.nby}x{rplan.nbx} blocks, "
                   f"window {rplan.w}")
@@ -396,13 +413,13 @@ def cmd_grid(args) -> int:
         ))
         use_ranges = args.method in ("auto", "ranges") and g % n == 0
         if use_ranges:
-            from .ops.grid import (MAX_EXTRACT_SPAN, block_sort_order,
+            from .ops.grid import (MAX_EXTRACT_SPAN,
                                    grid_to_subgrids_ranges,
-                                   plan_grid_extract_ranges)
+                                   plan_grid_extract_ranges,
+                                   sorted_block_coords)
 
-            order = block_sort_order(md.coord_x, md.coord_y, g, n)
-            cx_s = np.asarray(md.coord_x)[order]
-            cy_s = np.asarray(md.coord_y)[order]
+            order, cx_s, cy_s = sorted_block_coords(md.coord_x, md.coord_y,
+                                                    g, n)
             eplan = plan_grid_extract_ranges(cx_s, cy_s, g, n)
             use_ranges = eplan.k_span <= MAX_EXTRACT_SPAN
             print(f"grid-extract range plan: {eplan.n_chunks} chunks of "
@@ -463,6 +480,12 @@ def cmd_pipeline(args) -> int:
     print_device_info()
     print_parameters(params)
     g, n = params.grid_size, params.subgrid_size
+    if g % n:
+        # the range plans require block-tileable grids (the `grid`
+        # command falls back per-method; the pipeline is ranges-only)
+        print(f"pipeline requires GRID_SIZE % SUBGRID_SIZE == 0 "
+              f"(got {g} % {n}); use `grid`/`run` for odd sizes")
+        return 1
     obs = make_perf_observation(params)
     # block-sorted metadata: free on the host, enables the range-read
     # grid accumulator/extractor (contiguous runs per grid block)
@@ -588,8 +611,11 @@ def cmd_info(args) -> int:
 
 
 def cmd_scaling(args) -> int:
-    """Weak-scaling report over mesh sizes (new vs the reference; the
-    BASELINE.json north-star scaling-efficiency measurement).
+    """Strong-scaling report over mesh sizes (new vs the reference; the
+    BASELINE.json north-star scaling-efficiency measurement): the GLOBAL
+    problem size is fixed while the mesh grows, so the efficiency column
+    is speedup/n_dev relative to the smallest measured mesh (100% =
+    linear speedup at fixed total work).
 
     Workloads: gridder / degridder (subgrid-batch DP, no collectives) and
     pipeline (gridder → subgrid FFT → grid reduction, replicated via staged
@@ -631,7 +657,7 @@ def cmd_scaling(args) -> int:
     version, w_rank = _resolve(kernel_workload, args.version, params, obs, None)
     _, _, mvis = workload_costs(params)
     sizes = [int(s) for s in args.mesh_sizes.split(",")]
-    base = None
+    base = base_n = None
     print(f"workload={args.workload} version={version}"
           + (f" (resolved from {args.version})" if version != args.version else ""))
     print(f"{'devices':>8s} {'ms':>10s} {'MVis/s':>12s} {'efficiency':>11s}")
@@ -640,13 +666,26 @@ def cmd_scaling(args) -> int:
             print(f"{n_dev:>8d}  (skipped: only {len(jax.devices())} devices)")
             continue
         mesh = make_mesh(n_dev)
-        sharded_sobs, _ = distribute_observation(params, sobs, mesh)
         if args.workload == "gridder":
+            sharded_sobs, _ = distribute_observation(params, sobs, mesh)
             fn = sharded_gridder(params, mesh, version, w_rank=w_rank)
             fargs = (sharded_sobs,)
         elif args.workload == "degridder":
+            import numpy as np
+
+            sharded_sobs, s_pad = distribute_observation(params, sobs, mesh)
+            # pad the subgrid pair to the observation's padded row count
+            # (shard_map needs matching, mesh-divisible leading axes)
+            spair = sub_pair
+            s = spair[0].shape[0]
+            if s_pad != s:
+                spair = tuple(
+                    np.pad(np.asarray(v),
+                           [(0, s_pad - s)] + [(0, 0)] * (v.ndim - 1))
+                    for v in spair
+                )
             fn = sharded_degridder(params, mesh, version, w_rank=w_rank)
-            fargs = (sharded_sobs, jax.device_put(sub_pair))
+            fargs = (sharded_sobs, jax.device_put(spair))
         else:  # pipeline: gridder + FFT + grid reduction collective
             use_ranges = args.grid_method == "ranges" and not args.distributed
             if use_ranges:
@@ -663,6 +702,7 @@ def cmd_scaling(args) -> int:
                 if args.grid_method == "ranges":
                     print("grid-method ranges: single-process only; "
                           "using scatter")
+                sharded_sobs, _ = distribute_observation(params, sobs, mesh)
                 fn = sharded_gridder_to_grid(
                     params, mesh, version, grid_sharded=args.grid_sharded,
                     w_rank=w_rank,
@@ -671,8 +711,8 @@ def cmd_scaling(args) -> int:
         timing = time_kernel(fn, *fargs, harness=harness)
         rate = mvis / timing.seconds
         if base is None:
-            base = rate
-        eff = rate / (base * n_dev / sizes[0])
+            base, base_n = rate, n_dev  # first MEASURED mesh, not sizes[0]
+        eff = rate / (base * n_dev / base_n)
         print(
             f"{n_dev:>8d} {timing.seconds * 1e3:>10.2f} {rate:>12.2f} "
             f"{eff:>10.1%}  (±{timing.seconds_std * 1e3:.2f} ms)"
@@ -750,7 +790,9 @@ def main(argv=None) -> int:
     sub.add_parser("list", help="list registered kernels").set_defaults(fn=cmd_list)
     sub.add_parser("info", help="print device info").set_defaults(fn=cmd_info)
 
-    p_scal = sub.add_parser("scaling", help="weak-scaling efficiency report")
+    p_scal = sub.add_parser("scaling",
+                            help="strong-scaling efficiency report "
+                                 "(fixed global problem over mesh sizes)")
     p_scal.add_argument("--workload",
                         choices=["gridder", "degridder", "pipeline"],
                         default="gridder")

@@ -474,6 +474,14 @@ def block_sort_order(coord_x, coord_y, grid_size: int,
     return np.argsort((cy // n) * nbx + (cx // n), kind="stable")
 
 
+def sorted_block_coords(coord_x, coord_y, grid_size: int, subgrid_size: int):
+    """block_sort_order plus the permuted host coord arrays — the common
+    prologue of every standalone ranges benchmark path (the pipeline
+    sorts the whole observation via sort_observation_blocks instead)."""
+    order = block_sort_order(coord_x, coord_y, grid_size, subgrid_size)
+    return (order, np.asarray(coord_x)[order], np.asarray(coord_y)[order])
+
+
 def sort_observation_blocks(obs, grid_size: int, subgrid_size: int):
     """Return (observation with block-sorted per-subgrid metadata, order).
 

@@ -126,7 +126,6 @@ def shard_observation_block_sorted(params: IDGParams,
     the in-tree layout) — the permuted uvw/vis rows are re-labeled
     canonically. Returns (sharded_sobs, s_pad, (tstarts, lens) sharded
     [n_dev, 4, NBp] tables, mesh-global window w)."""
-    import dataclasses as _dc
 
     from ..ops.common import canonical_time_offsets
     from ..ops.grid import block_sort_order, plan_grid_add_ranges
@@ -164,7 +163,7 @@ def shard_observation_block_sorted(params: IDGParams,
         coord_y=perm(md.coord_y),
         coord_z=perm(md.coord_z),
     )
-    padded = _dc.replace(
+    padded = dataclasses.replace(
         padded, uvw=perm(padded.uvw), vis_re=perm(padded.vis_re),
         vis_im=perm(padded.vis_im), metadata=md_sorted,
     )
