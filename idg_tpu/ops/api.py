@@ -134,7 +134,12 @@ def _resolve(workload: str, version: str, params: IDGParams,
         inspect.signature(entry.fn).parameters["w_rank"].default
         if takes_rank else None
     )
-    need = required_w_rank(params, obs)
+    # required_w_rank is a full host pass over the observation's w values;
+    # direct full-phase kernels (no rank, exact in w) never read it
+    need = (
+        required_w_rank(params, obs)
+        if takes_rank or entry.fixed_w_rank is not None else None
+    )
     if w_rank is not None:
         if takes_rank:
             if need is not None and w_rank < need:
@@ -171,12 +176,23 @@ def _resolve(workload: str, version: str, params: IDGParams,
     # at rank 1 with no w_rank parameter): fall back when rank 1 is short.
     # Direct full-phase kernels (fixed_w_rank=None, no w_rank param) are
     # exact in w and need no guard.
-    if (
-        entry.fixed_w_rank is not None
-        and need is not None
-        and need > entry.fixed_w_rank
-        and entry.fallback is not None
+    if entry.fixed_w_rank is not None and (
+        need is None or need > entry.fixed_w_rank
     ):
+        if need is None or entry.fallback is None:
+            # need=None: beyond rank-MAX_W_RANK Taylor accuracy — no
+            # low-rank rung (fallbacks included) can meet the gate;
+            # fallback=None: nothing to escalate to. Either way a silent
+            # return would miss the 1e-5 gate.
+            raise ValueError(
+                f"{workload} {version} is a rank-{entry.fixed_w_rank} "
+                "w-free specialization but the observation's w range needs "
+                + (f"Taylor rank {need}" if need is not None
+                   else f"more than rank-{MAX_W_RANK} Taylor accuracy")
+                + ("; no fallback is registered — " if need is not None
+                   else "; ")
+                + "use a direct full-phase kernel (pallas_v1 / xla_v2)"
+            )
         warnings.warn(
             f"{workload} {version} is a rank-{entry.fixed_w_rank} w-free "
             f"specialization but the observation needs Taylor rank {need} — "
@@ -217,6 +233,20 @@ def run_degridder(
     return combine_complex(np.asarray(re), np.asarray(im))
 
 
+def _rowmajor_formats(shapes):
+    """Row-major Format tree for `shapes` (a ShapeDtypeStruct tree) on the
+    default device. Raises on platforms without layout control — callers
+    catch and fall back to unpinned."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    dev = SingleDeviceSharding(jax.devices()[0])
+    return jax.tree.map(
+        lambda s: Format(Layout(major_to_minor=tuple(range(s.ndim))), dev),
+        shapes,
+    )
+
+
 def _pin_rowmajor(tree):
     """Pin every array in `tree` to a row-major device layout (no-op on
     platforms without layout control). Used on benchmark inputs that are
@@ -225,15 +255,7 @@ def _pin_rowmajor(tree):
     measured at ~3 ms per 8192-subgrid degridder launch (~10% of the step)
     in the round-3 xplane trace."""
     try:
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-
-        dev = SingleDeviceSharding(jax.devices()[0])
-        shapes = jax.eval_shape(lambda t: t, tree)
-        fmts = jax.tree.map(
-            lambda s: Format(Layout(major_to_minor=tuple(range(s.ndim))), dev),
-            shapes,
-        )
+        fmts = _rowmajor_formats(jax.eval_shape(lambda t: t, tree))
         return jax.jit(lambda t: t, out_shardings=fmts)(tree)
     except Exception:
         return tree
@@ -256,10 +278,10 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
 
     version, w_rank = _resolve(workload, version, params, obs, w_rank)
     host_sobs = split_observation(obs)
-    if workload == "degridder" and (workload, version) in STAGED:
-        # The degridder has no visibility INPUT (vis is its output) and its
-        # staging pass runs with_vis=False — don't ship the ~1.6 GB
-        # fullsize visibility planes to the device at all.
+    if workload == "degridder":
+        # The degridder has no visibility INPUT (vis is its output) —
+        # don't ship the ~1.6 GB fullsize visibility planes to the device
+        # at all (staged or not; no degridder kernel reads them).
         import dataclasses as _dc
 
         host_sobs = _dc.replace(host_sobs, vis_re=None, vis_im=None)
@@ -267,7 +289,6 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     sub_pair = None if subgrids is None else jax.device_put(split_complex(subgrids))
 
     if (workload, version) in STAGED:
-        from .common import canonical_time_offsets
         from .pallas.common import slice_staged
         from .pallas.degridder import MAX_CHUNK
 
@@ -285,18 +306,13 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         # S-minor layout and re-inserts a relayout copy into EVERY timed
         # launch (~2% of the gridder step in xplane traces). Pinning moves
         # that copy into the one-time staging pass.
-        stage_shardings = None
         try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            dev_shard = SingleDeviceSharding(jax.devices()[0])
-            shapes = jax.eval_shape(stage_jit, params, sobs)
-            stage_shardings = jax.tree.map(
-                lambda s: Format(
-                    Layout(major_to_minor=tuple(range(s.ndim))), dev_shard
-                ),
-                shapes,
+            # bind the static params via partial: eval_shape abstractifies
+            # every ARGUMENT, and IDGParams is not a pytree (passing it
+            # positionally raised TypeError and silently disabled this
+            # pinning for all of round 2/3 until reviewed)
+            stage_shardings = _rowmajor_formats(
+                jax.eval_shape(partial(stage_jit, params), sobs)
             )
         except Exception:
             stage_shardings = None
@@ -315,12 +331,8 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         run_jit = None
         if workload == "gridder":
             try:
-                from jax.experimental.layout import Format, Layout
-                from jax.sharding import SingleDeviceSharding
-
-                fmt = Format(
-                    Layout(major_to_minor=(0, 1, 2, 3)),
-                    SingleDeviceSharding(jax.devices()[0]),
+                fmt = _rowmajor_formats(
+                    jax.ShapeDtypeStruct((1, 1, 1, 1), np.float32)
                 )
                 run_jit = jax.jit(
                     run_fn, static_argnums=0, out_shardings=(fmt, fmt)
@@ -341,7 +353,6 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         # the measurement still covers every real subgrid; chunks share one
         # compiled executable and the timed fn sums their launches.
         import jax.numpy as jnp
-        import math
 
         n_chunks = math.ceil(s / MAX_CHUNK)
         s_pad = n_chunks * MAX_CHUNK
@@ -448,6 +459,10 @@ def staged_degridder_consumer(params: IDGParams, obs: Observation,
         return jax.tree_util.tree_map(lambda x: x[:1], out)
 
     if s <= MAX_CHUNK:
+        # pin the staged arrays row-major like staged_runner/the chunked
+        # path below — XLA otherwise re-inserts an S-minor relayout copy
+        # into every timed launch
+        stg = _pin_rowmajor(stg)
         run = jax.jit(
             lambda p, st, sub: _slim(run_fn(p, st, sub)), static_argnums=0
         )

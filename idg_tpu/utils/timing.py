@@ -28,11 +28,15 @@ from ..config import HarnessConfig
 
 
 def _force(out) -> None:
-    """Force completion: fetch one element of every output leaf's first
-    entry (tiny D2H transfer; completes the device queue)."""
-    leaves = jax.tree_util.tree_leaves(out)
-    for leaf in leaves[:1]:
-        np.asarray(jax.device_get(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf))
+    """Force completion: fetch one element of the first DEVICE output leaf
+    (tiny D2H transfer; the device queue is serialized, so one fetch
+    completes everything enqueued before it). Host leaves (numpy/python
+    scalars) are skipped — fetching one of those would be a no-op and the
+    window would silently measure only async dispatch."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        if isinstance(leaf, jax.Array):
+            np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+            return
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,7 +106,7 @@ def time_kernel(
         _force(o)
         return time.perf_counter() - t0
 
-    iters = cfg.nr_iterations
+    iters = max(1, cfg.nr_iterations)  # 0 would loop the calibration forever
     total = window(iters)
     # Keep the launch window ≫ the sync cost being subtracted; otherwise
     # sync jitter dominates the estimate (seen at ±2 ms on the tunneled
