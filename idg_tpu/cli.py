@@ -111,19 +111,14 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
             fn = sharded_gridder(params, mesh, rversion, w_rank=rw_rank)
             args = (sharded_sobs,)
         else:
-            # pad the subgrid pair to the observation's padded row count
-            # (shard_map needs matching, mesh-divisible leading axes)
-            spair = split_complex(subgrids)
-            s = spair[0].shape[0]
-            if s_pad != s:
-                import numpy as np
-                spair = tuple(
-                    np.pad(np.asarray(v),
-                           [(0, s_pad - s)] + [(0, 0)] * (v.ndim - 1))
-                    for v in spair
-                )
+            from .parallel.distributed import distribute_subgrid_pair
+
+            # pad/shard the subgrid pair to the observation's padded row
+            # count (shard_map needs matching, mesh-divisible axes)
+            spair = distribute_subgrid_pair(
+                split_complex(subgrids), mesh, s_pad)
             fn = sharded_degridder(params, mesh, rversion, w_rank=rw_rank)
-            args = (sharded_sobs, jax.device_put(spair))
+            args = (sharded_sobs, spair)
     else:
         fn, args = staged_runner(
             workload, rversion, params, obs, subgrids, w_rank=rw_rank
@@ -665,27 +660,27 @@ def cmd_scaling(args) -> int:
         if n_dev > len(jax.devices()):
             print(f"{n_dev:>8d}  (skipped: only {len(jax.devices())} devices)")
             continue
+        if args.distributed and n_dev % jax.process_count():
+            # a mesh must span every process's devices in a
+            # multi-controller run (see distributed._local_rows)
+            print(f"{n_dev:>8d}  (skipped: not a multiple of "
+                  f"{jax.process_count()} processes)")
+            continue
         mesh = make_mesh(n_dev)
         if args.workload == "gridder":
             sharded_sobs, _ = distribute_observation(params, sobs, mesh)
             fn = sharded_gridder(params, mesh, version, w_rank=w_rank)
             fargs = (sharded_sobs,)
         elif args.workload == "degridder":
-            import numpy as np
+            from .parallel.distributed import distribute_subgrid_pair
 
+            # pad/shard the subgrid pair to the observation's padded row
+            # count (shard_map needs matching, mesh-divisible axes;
+            # process-local slicing in multi-host runs)
             sharded_sobs, s_pad = distribute_observation(params, sobs, mesh)
-            # pad the subgrid pair to the observation's padded row count
-            # (shard_map needs matching, mesh-divisible leading axes)
-            spair = sub_pair
-            s = spair[0].shape[0]
-            if s_pad != s:
-                spair = tuple(
-                    np.pad(np.asarray(v),
-                           [(0, s_pad - s)] + [(0, 0)] * (v.ndim - 1))
-                    for v in spair
-                )
+            spair = distribute_subgrid_pair(sub_pair, mesh, s_pad)
             fn = sharded_degridder(params, mesh, version, w_rank=w_rank)
-            fargs = (sharded_sobs, jax.device_put(spair))
+            fargs = (sharded_sobs, spair)
         else:  # pipeline: gridder + FFT + grid reduction collective
             use_ranges = args.grid_method == "ranges" and not args.distributed
             if use_ranges:

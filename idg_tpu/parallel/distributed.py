@@ -19,7 +19,7 @@ Multi-process usage (one process per host):
     from idg_tpu.parallel import distributed as dist
     dist.init_distributed()            # env: JAX_COORDINATOR_ADDRESS, ...
     mesh = dist.make_hier_mesh()
-    sobs = dist.distribute_observation(params, sobs_global, mesh)
+    sobs, s_pad = dist.distribute_observation(params, sobs_global, mesh)
 
 Every process passes the same global observation (synthetic data is cheap
 to generate everywhere); `distribute_observation` keeps only the local
@@ -106,6 +106,51 @@ def hierarchical_psum(x, mesh: Mesh):
     return x
 
 
+def _local_rows(sharding, s_pad: int) -> tuple[int, int]:
+    """This process's contiguous [lo, hi) row range of an axis-0-sharded
+    [s_pad, ...] array, derived from the sharding itself (NOT from
+    process_count: a mesh need not span every process's devices
+    uniformly). Raises when this process owns no shard of the mesh —
+    such a mesh cannot be used from here in a multi-controller run."""
+    idx_map = sharding.addressable_devices_indices_map((s_pad,))
+    if not idx_map:
+        raise ValueError(
+            "this process has no addressable devices in the mesh; "
+            "multi-process runs need meshes that span every process "
+            "(e.g. n_dev a multiple of jax.process_count())"
+        )
+    starts = [sl[0].start or 0 for sl in idx_map.values()]
+    stops = [s_pad if sl[0].stop is None else sl[0].stop
+             for sl in idx_map.values()]
+    return min(starts), max(stops)
+
+
+def _put_process_local(tree, shardings, s: int, s_pad: int):
+    """make_array_from_process_local_data over an UNPADDED global tree:
+    axis-0-sharded leaves are sliced to this process's rows first and
+    only the tail shard's zero padding is materialized (padding the full
+    global array first would transiently hold ~2x the visibility volume
+    on every host)."""
+
+    def put(arr, sharding):
+        arr = np.asarray(arr)
+        spec = sharding.spec
+        if len(spec) and spec[0] is not None:
+            lo, hi = _local_rows(sharding, s_pad)
+            local = arr[lo:min(hi, s)]
+            if hi > s:
+                pad = np.zeros((hi - max(lo, s),) + arr.shape[1:], arr.dtype)
+                local = np.concatenate([local, pad]) if local.size else pad
+        else:
+            local = arr
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return jax.tree.map(
+        put, tree, shardings,
+        is_leaf=lambda x: isinstance(x, (np.ndarray, jax.Array)),
+    )
+
+
 def distribute_observation(
     params: IDGParams, sobs: SplitObservation, mesh: Mesh
 ):
@@ -118,16 +163,26 @@ def distribute_observation(
 
     Returns (sharded_sobs, padded_S).
     """
-    from .sharded import _obs_specs
+    from .sharded import _obs_specs, _pad_observation
 
     n_dev = mesh.devices.size
     axes = data_axes(mesh)
     s = np.shape(sobs.uvw)[0]
+    shardings = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), _obs_specs(axes),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    if jax.process_count() == 1:
+        padded, s_pad = _pad_observation(params, sobs, n_dev)
+        return jax.device_put(padded, shardings), s_pad
+
     s_pad = pad_to_multiple(s, n_dev)
     t = params.nr_timesteps_subgrid
-
     md = sobs.metadata
     if s_pad != s:
+        # metadata is small — pad it globally (the padded tail needs its
+        # canonical time offsets); the big per-subgrid arrays are sliced
+        # locally and zero-padded per shard in _put_process_local
         extra_offsets = (np.arange(s, s_pad, dtype=np.int32)) * t
         md = Metadata(
             time_offset=np.concatenate(
@@ -141,38 +196,22 @@ def distribute_observation(
             coord_y=pad_axis0(md.coord_y, s_pad),
             coord_z=pad_axis0(md.coord_z, s_pad),
         )
-    padded = SplitObservation(
-        uvw=pad_axis0(sobs.uvw, s_pad),
-        wavenumbers=np.asarray(sobs.wavenumbers),
-        vis_re=pad_axis0(sobs.vis_re, s_pad),
-        vis_im=pad_axis0(sobs.vis_im, s_pad),
-        spheroidal=np.asarray(sobs.spheroidal),
-        at_re=np.asarray(sobs.at_re),
-        at_im=np.asarray(sobs.at_im),
-        metadata=md,
-    )
-    specs = _obs_specs(axes)
-    shardings = jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec), specs,
-        is_leaf=lambda x: isinstance(x, P),
-    )
-    if jax.process_count() == 1:
-        return jax.device_put(padded, shardings), s_pad
-
-    def put(arr, sharding):
-        arr = np.asarray(arr)
-        spec = sharding.spec
-        if len(spec) and spec[0] is not None:
-            # subgrid-sharded: keep this process's local rows
-            rows_per_proc = s_pad // jax.process_count()
-            lo = jax.process_index() * rows_per_proc
-            local = arr[lo:lo + rows_per_proc]
-        else:
-            local = arr
-        return jax.make_array_from_process_local_data(sharding, local)
-
-    out = jax.tree.map(
-        put, padded, shardings,
-        is_leaf=lambda x: isinstance(x, (np.ndarray, jax.Array)),
-    )
+    global_tree = dataclasses.replace(sobs, metadata=md)
+    out = _put_process_local(global_tree, shardings, s, s_pad)
     return out, s_pad
+
+
+def distribute_subgrid_pair(pair, mesh: Mesh, s_pad: int):
+    """Shard a split subgrid pair [S, P, N, N]x2 over the mesh's subgrid
+    axis, padded to s_pad rows — the degridder-input companion of
+    distribute_observation (multi-process aware the same way)."""
+    axes = data_axes(mesh)
+    sharding = NamedSharding(mesh, P(axes))
+    s = np.shape(pair[0])[0]
+    if jax.process_count() == 1:
+        if s_pad != s:
+            pair = tuple(pad_axis0(v, s_pad) for v in pair)
+        return jax.device_put(tuple(pair), (sharding, sharding))
+    return _put_process_local(
+        tuple(pair), (sharding, sharding), s, s_pad
+    )

@@ -260,14 +260,19 @@ def sharded_gridder_to_grid(
     kernel = _kernel_fn("gridder", version, w_rank)
     specs = _obs_specs(axis)
     g = params.grid_size
-    if grid_sharded:
-        assert g % n_inner == 0, (
-            "grid rows must divide the innermost mesh axis for psum_scatter"
+    if grid_sharded and g % n_inner:
+        raise ValueError(
+            f"psum_scatter needs the innermost mesh axis ({n_inner}) to "
+            f"divide the grid rows ({g})"
         )
     out_spec = (P(None, inner, None),) * 2 if grid_sharded else (P(), P())
     use_ranges = grid_method == "ranges"
     if use_ranges:
-        assert apply_fft and range_w is not None
+        if not apply_fft or range_w is None:
+            raise ValueError(
+                "grid_method='ranges' requires apply_fft=True and the "
+                "range_w window from shard_observation_block_sorted"
+            )
         in_specs = (specs, P(axis), P(axis))
     else:
         in_specs = (specs,)
@@ -312,6 +317,7 @@ def sharded_grid_to_degridder(
     mesh: Mesh,
     version: str = "xla_v2",
     apply_fft: bool = True,
+    w_rank: int | None = None,
 ):
     """jitted fn(sobs_sharded, grid_pair_replicated) -> (re, im) visibilities.
 
@@ -321,7 +327,7 @@ def sharded_grid_to_degridder(
     all-gathers the row blocks first.
     """
     axis = tuple(mesh.axis_names)
-    kernel = get_kernel("degridder", version).fn
+    kernel = _kernel_fn("degridder", version, w_rank)
     specs = _obs_specs(axis)
 
     @partial(
@@ -345,6 +351,7 @@ def sharded_grid_to_degridder_gather(
     mesh: Mesh,
     version: str = "xla_v2",
     apply_fft: bool = True,
+    w_rank: int | None = None,
 ):
     """jitted fn(sobs_sharded, grid_pair_row_sharded) -> visibilities.
 
@@ -356,7 +363,7 @@ def sharded_grid_to_degridder_gather(
     """
     axis = tuple(mesh.axis_names)
     inner = axis[-1]
-    kernel = get_kernel("degridder", version).fn
+    kernel = _kernel_fn("degridder", version, w_rank)
     specs = _obs_specs(axis)
     g = params.grid_size
 
