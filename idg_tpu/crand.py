@@ -29,13 +29,23 @@ class CRand:
         seed = seed & _MASK32
         if seed == 0:
             seed = 1
+        if seed >= 0x80000000:
+            # glibc stores the unsigned seed into an int32_t state word and
+            # the LCG below reads it back SIGNED with C truncating / and %
+            # — emulating it with unsigned divmod diverges for every seed
+            # with bit 31 set (verified against compiled glibc).
+            seed -= 0x100000000
         r = [0] * 34
         r[0] = seed
         # Park-Miller LCG seeding of the state table, computed without
         # overflow exactly as glibc does (hi/lo decomposition of 16807*x mod
-        # 2^31-1, mapping non-positive results back into range).
+        # 2^31-1, mapping non-positive results back into range; C division
+        # truncates toward zero, unlike Python's floor divmod).
         for i in range(1, 31):
-            hi, lo = divmod(r[i - 1], 127773)
+            word = r[i - 1]
+            q = abs(word) // 127773
+            hi = q if word >= 0 else -q
+            lo = word - hi * 127773
             word = 16807 * lo - 2836 * hi
             if word < 0:
                 word += 2147483647

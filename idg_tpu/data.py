@@ -3,7 +3,10 @@
 Reproduces the reference's data model exactly — same formulas and the same
 glibc rand() draw order (app/common/init.cpp:4-222), seeded like
 ``srand(0)`` (tests/gridder_common.cpp:88) — so our synthetic observations
-match the reference binaries' in distribution (and, draw-for-draw, in value).
+match the reference binaries' draw-for-draw. Values match to f32 rounding
+(init.cpp computes angle/radius/exp in float32; here intermediates stay
+f64 until the final astype, a last-ULP difference far below the 1e-5
+comparator gate).
 
 Layout note: the reference's correctness harness allocates uvw/visibilities
 with **nr_subgrids** rows of T timesteps (tests/gridder_common.cpp:72-74) and
@@ -159,11 +162,11 @@ def initialize_subgrids(
     return np.broadcast_to(sub, (nr_subgrids, nr_correlations, subgrid_size, subgrid_size)).astype(np.complex64)
 
 
-def initialize_uvw_offsets(
-    params: IDGParams, metadata: Metadata
-) -> np.ndarray:
-    """Per-subgrid (u,v,w) offsets (init.cpp:182-199): the subgrid-constant
-    part of the phase, f32[S, 3]."""
+def uvw_offsets_f64(params: IDGParams, metadata: Metadata):
+    """Per-subgrid u/v/w offsets in f64 (init.cpp:182-199 /
+    gridder_reference.cpp:33-38) — the ONE definition of the
+    subgrid-constant phase, shared by the f32 initializer below and the
+    golden oracle (models/reference.py)."""
     n, g = params.subgrid_size, params.grid_size
     scale = 2.0 * np.pi / params.image_size
     u = (np.asarray(metadata.coord_x, np.float64) + n // 2 - g // 2) * scale
@@ -171,16 +174,33 @@ def initialize_uvw_offsets(
     w = 2.0 * np.pi * params.w_step * (
         np.asarray(metadata.coord_z, np.float64) + 0.5
     )
+    return u, v, w
+
+
+def initialize_uvw_offsets(
+    params: IDGParams, metadata: Metadata
+) -> np.ndarray:
+    """Per-subgrid (u,v,w) offsets (init.cpp:182-199): the subgrid-constant
+    part of the phase, f32[S, 3]."""
+    u, v, w = uvw_offsets_f64(params, metadata)
     return np.stack([u, v, w], axis=-1).astype(np.float32)
+
+
+def lmn_f64(subgrid_size: int, image_size: float):
+    """Per-pixel direction cosines in f64 (init.cpp:201-222 /
+    math.hpp:9-24): (l[N], m[N], n[N(y), N(x)]) — shared by the f32
+    initializer below and the golden oracle."""
+    xy = np.arange(subgrid_size, dtype=np.float64)
+    l = compute_l(xy, subgrid_size, image_size)
+    m = compute_m(xy, subgrid_size, image_size)
+    n = compute_n(l[None, :], m[:, None])
+    return l, m, n
 
 
 def initialize_lmn(subgrid_size: int, image_size: float) -> np.ndarray:
     """Per-pixel direction cosines (init.cpp:201-222): f32[N, N, 3]
     with (l[x], m[y], n[y,x])."""
-    xy = np.arange(subgrid_size, dtype=np.float64)
-    l = compute_l(xy, subgrid_size, image_size)
-    m = compute_m(xy, subgrid_size, image_size)
-    n = compute_n(l[None, :], m[:, None])
+    l, m, n = lmn_f64(subgrid_size, image_size)
     out = np.empty((subgrid_size, subgrid_size, 3), dtype=np.float32)
     out[:, :, 0] = l[None, :]
     out[:, :, 1] = m[:, None]
@@ -329,8 +349,13 @@ def make_perf_observation(params: IDGParams, seed: int = 0) -> Observation:
     uvw[:, :, 1] = radius[:, None] * np.sin(2 * np.pi * t)[None, :]
     frequencies = initialize_frequencies(C)
     wavenumbers = initialize_wavenumbers(frequencies)
-    phase = (np.arange(S * T * C * P).reshape(S, T, C, P) % 251).astype(np.float32) * 0.025
-    visibilities = (np.cos(phase) + 1j * np.sin(phase)).astype(np.complex64)
+    # period-251 phase pattern built from one small tile: materializing
+    # np.arange(S*T*C*P) int64 + the f32 phase plane transiently cost
+    # ~2.4 GB on top of the 1.6 GB visibilities at the perf defaults
+    total = S * T * C * P
+    base = np.arange(251, dtype=np.float32) * np.float32(0.025)
+    base_c = (np.cos(base) + 1j * np.sin(base)).astype(np.complex64)
+    visibilities = np.tile(base_c, -(-total // 251))[:total].reshape(S, T, C, P)
     spheroidal = initialize_spheroidal(params.subgrid_size)
     n = params.subgrid_size
     aterms = np.ones(

@@ -17,26 +17,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import IDGParams
-from ..data import compute_l, compute_m, compute_n
+from ..data import lmn_f64 as _lmn
+from ..data import uvw_offsets_f64 as _uvw_offsets
 from ..types import Metadata, Observation
-
-
-def _lmn(subgrid_size: int, image_size: float):
-    x = np.arange(subgrid_size, dtype=np.float64)
-    l = compute_l(x, subgrid_size, image_size)            # [N]
-    m = compute_m(x, subgrid_size, image_size)            # [N]
-    n = compute_n(l[None, :], m[:, None])                 # [N(y), N(x)]
-    return l, m, n
-
-
-def _uvw_offsets(params: IDGParams, metadata: Metadata):
-    """u/v/w offsets per subgrid (gridder_reference.cpp:33-38). f64[S] each."""
-    N, G = params.subgrid_size, params.grid_size
-    scale = 2.0 * np.pi / params.image_size
-    u_off = (metadata.coord_x.astype(np.float64) + N // 2 - G // 2) * scale
-    v_off = (metadata.coord_y.astype(np.float64) + N // 2 - G // 2) * scale
-    w_off = 2.0 * np.pi * params.w_step * (metadata.coord_z.astype(np.float64) + 0.5)
-    return u_off, v_off, w_off
 
 
 def _gather_time_axis(arr_flat: np.ndarray, time_offset: np.ndarray, T: int):

@@ -29,6 +29,22 @@ def test_rand_stream_nonzero_seed():
     assert np.array_equal(py, nat)
 
 
+def test_rand_stream_high_bit_seeds():
+    """Seeds with bit 31 set exercise glibc's SIGNED int32 seeding (C
+    truncating division) — the unsigned-divmod emulation diverged here.
+    Expected draws verified against compiled glibc (srand/rand)."""
+    glibc = {
+        3000000000: [2058147116, 854483408, 922419988, 286396165],
+        2147483648: [1336741213, 1210407648, 1447044896, 337392383],
+        4294967295: [254925627, 1205188300, 366127624, 1401405153],
+    }
+    for seed, want in glibc.items():
+        got = list(CRand(seed).rand_array(4))
+        assert got == want, (seed, got)
+        nat = list(native.NativeRand(seed).rand_array(4))
+        assert nat == want, (seed, nat)
+
+
 def test_native_gridder_matches_numpy_oracle(small_params, small_obs):
     from idg_tpu.models.reference import gridder_reference
     from idg_tpu.utils.compare import check_error
