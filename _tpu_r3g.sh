@@ -3,9 +3,13 @@
 # back, then runs the queued hardware work in ONE serialized process chain:
 #   1. pipeline re-bench (grid + degrid) with the boundary relayout
 #   2. 16384^2 ranges-streamed grid-add (+ extract) hardware numbers
-#   3. validate_tpu.py regen (w!=0 + grid-stage parity sections)
-#   4. bench.py headline check (also warms the driver's compile cache)
-# Never kill -9 a TPU holder: every step runs under `timeout` (SIGTERM).
+#   3. probe16: degridder hswap/sstore schedule A/B
+#   4. validate_tpu.py regen (w!=0 + grid-stage parity sections)
+#   5. bench.py headline check (also warms the driver's compile cache)
+# Probe design: LONG-patience probes (a SIGTERM'd client can wedge the
+# claim ~10 min, and a fresh remote compile can take >7 min), LONG gaps
+# between attempts so a recovering tunnel is never re-wedged by the
+# watchdog itself. Never kill -9 a TPU holder.
 set -u
 cd /root/repo
 export OUTPUT_PATH=res
@@ -15,10 +19,9 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_idg
 log=/tmp/r3g.log
 : > $log
 
-# --- phase 0: wait for the tunnel (up to ~4 h, probing every 60 s) ---
 ok=0
-for i in $(seq 1 240); do
-  if timeout 240 python -c "
+for i in $(seq 1 40); do
+  if timeout 1200 python -c "
 import jax, jax.numpy as jnp
 jax.devices(); x = jnp.ones((8,128)); assert float(x.sum()) == 1024.0
 print('TPU OK')
@@ -27,8 +30,8 @@ print('TPU OK')
     ok=1
     break
   fi
-  echo "wait attempt $i $(date)" >> $log
-  sleep 60
+  echo "wait attempt $i failed $(date); sleeping 300" >> $log
+  sleep 300
 done
 if [ "$ok" != 1 ]; then
   echo "GAVE UP waiting $(date)" >> $log
@@ -45,6 +48,7 @@ run python -m idg_tpu.cli pipeline
 run python -m idg_tpu.cli pipeline --direction degrid
 run env GRID_SIZE=16384 python -m idg_tpu.cli grid --method ranges --suffix _16384
 run env GRID_SIZE=16384 python -m idg_tpu.cli grid --direction to-subgrids --method ranges --suffix _16384
+run python _tpu_probe16.py
 run python scripts/validate_tpu.py
 run python bench.py
 echo "ALL DONE [$(date +%H:%M:%S)]" >> $log

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import IDGParams
-from ..types import Metadata, SplitObservation
+from ..types import Metadata
 from .complexpair import Pair, apply_aterm_degridder, apply_aterm_gridder, cscale
 
 TWO_PI = 2.0 * jnp.pi
@@ -99,19 +99,6 @@ def gather_time(flat, time_offset, nr_timesteps: int):
     return jnp.take(flat, idx, axis=0)
 
 
-def gather_jones(sobs: SplitObservation, metadata: Metadata):
-    """Per-subgrid station Jones pairs: (a1, a2), each ([S,N,N,4], [S,N,N,4])."""
-    a1 = (
-        sobs.at_re[metadata.aterm_index, metadata.station1],
-        sobs.at_im[metadata.aterm_index, metadata.station1],
-    )
-    a2 = (
-        sobs.at_re[metadata.aterm_index, metadata.station2],
-        sobs.at_im[metadata.aterm_index, metadata.station2],
-    )
-    return a1, a2
-
-
 def phase_index(uvw, l, m, n):
     """phase_index[..., T, N, N] = u·l + v·m + w·n from uvw[..., T, 3]
     (gridder_reference.cpp:61)."""
@@ -168,18 +155,6 @@ def w_offset_scalar(params: IDGParams, metadata: Metadata):
         jnp.float32(TWO_PI * params.w_step)
         * (metadata.coord_z.astype(jnp.float32) + 0.5)
     )
-
-
-def scaled_uvw(uvw, wavenumbers):
-    """Fold channels into uvw: (u·k_c, v·k_c, w·k_c) for every (t, c) —
-    each channel is just a rescaled uvw sample. Returns three f32[..., T·C]
-    arrays (flattened effective-visibility axis)."""
-    k = wavenumbers
-    out = tuple(
-        (uvw[..., :, i, None] * k).reshape(*uvw.shape[:-2], -1)
-        for i in range(3)
-    )
-    return out
 
 
 def n_powers(n, w_rank: int):

@@ -10,19 +10,27 @@ p_run_kernel semantics (app/CUDA/util.cpp:109-126 times cudaLaunchKernel
 loops on pre-staged device buffers the same way).
 """
 
+from functools import partial
+
 from . import degridder, gridder  # noqa: F401  (registers kernels)
 from .common import stage
 
+# Each staged kernel reads exactly one per-visibility orientation:
+# v3/v4 the t-major up/vp/mu rows + vis pol-rows, v5+ the c-major
+# recurrence layout — bind it so staging materializes only that half.
+_stage_t = partial(stage, vis_layout="tmajor")
+_stage_c = partial(stage, vis_layout="cmajor")
+
 STAGED = {
-    ("gridder", "pallas_v3"): (stage, gridder.gridder_pallas_v3_staged),
-    ("gridder", "pallas_v4"): (stage, gridder.gridder_pallas_v4_staged),
-    ("gridder", "pallas_v5"): (stage, gridder.gridder_pallas_v5_staged),
-    ("gridder", "pallas_v6"): (stage, gridder.gridder_pallas_v6_staged),
-    ("gridder", "pallas_v7"): (stage, gridder.gridder_pallas_v7_staged),
-    ("degridder", "pallas_v3"): (stage, degridder.degridder_pallas_v3_staged),
-    ("degridder", "pallas_v4"): (stage, degridder.degridder_pallas_v4_staged),
-    ("degridder", "pallas_v5"): (stage, degridder.degridder_pallas_v5_staged),
-    ("degridder", "pallas_v6"): (stage, degridder.degridder_pallas_v6_staged),
-    ("degridder", "pallas_v7"): (stage, degridder.degridder_pallas_v7_staged),
-    ("degridder", "pallas_v8"): (stage, degridder.degridder_pallas_v8_staged),
+    ("gridder", "pallas_v3"): (_stage_t, gridder.gridder_pallas_v3_staged),
+    ("gridder", "pallas_v4"): (_stage_t, gridder.gridder_pallas_v4_staged),
+    ("gridder", "pallas_v5"): (_stage_c, gridder.gridder_pallas_v5_staged),
+    ("gridder", "pallas_v6"): (_stage_c, gridder.gridder_pallas_v6_staged),
+    ("gridder", "pallas_v7"): (_stage_c, gridder.gridder_pallas_v7_staged),
+    ("degridder", "pallas_v3"): (_stage_t, degridder.degridder_pallas_v3_staged),
+    ("degridder", "pallas_v4"): (_stage_t, degridder.degridder_pallas_v4_staged),
+    ("degridder", "pallas_v5"): (_stage_c, degridder.degridder_pallas_v5_staged),
+    ("degridder", "pallas_v6"): (_stage_c, degridder.degridder_pallas_v6_staged),
+    ("degridder", "pallas_v7"): (_stage_c, degridder.degridder_pallas_v7_staged),
+    ("degridder", "pallas_v8"): (_stage_c, degridder.degridder_pallas_v8_staged),
 }

@@ -32,26 +32,13 @@ import jax
 import jax.numpy as jnp
 
 from ...config import IDGParams
-from ...types import SplitObservation
+from ...types import SplitObservation, _register_pytree
 from ..common import (
     gather_time,
     lmn_grids,
     phase_offset_parts,
     w_offset_scalar,
 )
-
-
-def _register_pytree(cls):
-    fields = [f.name for f in dataclasses.fields(cls)]
-
-    def flatten(obj):
-        return tuple(getattr(obj, name) for name in fields), None
-
-    def unflatten(_, children):
-        return cls(**dict(zip(fields, children)))
-
-    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
-    return cls
 
 
 @_register_pytree
@@ -92,21 +79,38 @@ class Staged:
 
 
 def stage(params: IDGParams, sobs: SplitObservation,
-          canonical: bool = False, with_vis: bool = True) -> Staged:
+          canonical: bool = False, with_vis: bool = True,
+          vis_layout: str = "both") -> Staged:
     """with_vis=False skips the visibility gathers/transposes (the
     degridder never reads them): at the full default problem those arrays
     are ~5 GB of HBM, enough to push transient peak memory over the chip
-    limit."""
+    limit.
+
+    vis_layout picks which per-visibility orientation to materialize —
+    "tmajor" (v = t·C+c: up/vp/mu rows + vis pol-rows; the v3/v4
+    kernels), "cmajor" (v = c·T+t: mu_row_cm + vis_re_pv_cm; the
+    recurrence kernels v5+), or "both" (default; direct callers and the
+    v1/v2 kernels). Each staged kernel reads exactly one orientation, so
+    the perf harness (ops/pallas/__init__.STAGED) binds the right one
+    and halves the staged visibility HBM."""
+    if vis_layout not in ("both", "tmajor", "cmajor"):
+        raise ValueError(f"unknown vis_layout {vis_layout!r}")
+    build_t = vis_layout in ("both", "tmajor")
+    build_c = vis_layout in ("both", "cmajor")
     md = sobs.metadata
     T = params.nr_timesteps_subgrid
     C, P = params.nr_channels, params.nr_correlations
+    s_md = md.time_offset.shape[0]
     if canonical:
         # time_offset[s] == s·T (ops/common.canonical_time_offsets): the
         # metadata gather is the identity — skipping it saves ~6 ms per
-        # gathered array per 900 subgrids on TPU.
-        uvw = sobs.uvw.reshape(-1, T, 3)
-        vis_re = sobs.vis_re.reshape(-1, T, C, P) if with_vis else None
-        vis_im = sobs.vis_im.reshape(-1, T, C, P) if with_vis else None
+        # gathered array per 900 subgrids on TPU. Slice to the metadata's
+        # subgrid count: a prefix-metadata observation (fewer subgrids
+        # than flat time rows) is still canonical, and without the slice
+        # the per-subgrid arrays would disagree on S.
+        uvw = sobs.uvw.reshape(-1, T, 3)[:s_md]
+        vis_re = sobs.vis_re.reshape(-1, T, C, P)[:s_md] if with_vis else None
+        vis_im = sobs.vis_im.reshape(-1, T, C, P)[:s_md] if with_vis else None
     else:
         uvw = gather_time(sobs.uvw.reshape(-1, 3), md.time_offset, T)
         vis_re = (
@@ -124,36 +128,43 @@ def stage(params: IDGParams, sobs: SplitObservation,
     l, m, n = lmn_grids(params.subgrid_size, params.image_size)
     k = sobs.wavenumbers
     # channels folded into uvw: effective visibility v = t·C + c
-    scaled = uvw[:, :, :, None] * k[None, None, None, :]   # [S, T, 3, C]
-    up = scaled[:, :, 0, :].reshape(S, V)
-    vp = scaled[:, :, 1, :].reshape(S, V)
-    wp = scaled[:, :, 2, :].reshape(S, V)
+    wp = (uvw[:, :, 2, None] * k[None, None, :]).reshape(S, V)
     mu = w_off[:, None] - wp
+    if build_t:
+        up = (uvw[:, :, 0, None] * k[None, None, :]).reshape(S, V)
+        vp = (uvw[:, :, 1, None] * k[None, None, :]).reshape(S, V)
     at_re = jnp.transpose(sobs.at_re, (0, 1, 4, 2, 3))
     at_im = jnp.transpose(sobs.at_im, (0, 1, 4, 2, 3))
     nn = params.subgrid_size * params.subgrid_size
+    with_vis_t = with_vis and build_t
+    with_vis_c = with_vis and build_c
     return Staged(
         uvw=uvw,
         vis_re=vis_re,
         vis_im=vis_im,
         vis_re_pv=(
-            jnp.moveaxis(vis_re.reshape(S, V, P), 2, 1) if with_vis else None
+            jnp.moveaxis(vis_re.reshape(S, V, P), 2, 1)
+            if with_vis_t else None
         ),
         vis_im_pv=(
-            jnp.moveaxis(vis_im.reshape(S, V, P), 2, 1) if with_vis else None
+            jnp.moveaxis(vis_im.reshape(S, V, P), 2, 1)
+            if with_vis_t else None
         ),
-        up_row=up[:, None, :],
-        vp_row=vp[:, None, :],
-        mu_row=mu[:, None, :],
+        up_row=up[:, None, :] if build_t else None,
+        vp_row=vp[:, None, :] if build_t else None,
+        mu_row=mu[:, None, :] if build_t else None,
         uvw_rows=jnp.moveaxis(uvw, 1, 2),
-        mu_row_cm=jnp.swapaxes(mu.reshape(S, T, C), 1, 2).reshape(S, 1, V),
+        mu_row_cm=(
+            jnp.swapaxes(mu.reshape(S, T, C), 1, 2).reshape(S, 1, V)
+            if build_c else None
+        ),
         vis_re_pv_cm=(
             jnp.transpose(vis_re, (0, 3, 2, 1)).reshape(S, P, V)
-            if with_vis else None
+            if with_vis_c else None
         ),
         vis_im_pv_cm=(
             jnp.transpose(vis_im, (0, 3, 2, 1)).reshape(S, P, V)
-            if with_vis else None
+            if with_vis_c else None
         ),
         wavenumbers=k[None, :],
         po_x=po_x[:, None, :],

@@ -63,7 +63,7 @@ def _rank_coefficients(mu, w_rank: int):
     return coefs
 
 
-def _axis_phasors(params: IDGParams, uvw_s, k, po_x, po_y, l, m):
+def _axis_phasors(uvw_s, k, po_x, po_y, l, m):
     """Φx[v, x], Φy[v, y] pairs + μ[v] for one subgrid.
 
     uvw_s f32[T,3]; po_x/po_y f32[N]; returns V = T·C rows.
@@ -76,12 +76,12 @@ def _axis_phasors(params: IDGParams, uvw_s, k, po_x, po_y, l, m):
     return phix, phiy, w_s
 
 
-def _gridder_subgrid(params, uvw_s, vis_s, po_x, po_y, w_off, k, l, m, n,
+def _gridder_subgrid(uvw_s, vis_s, po_x, po_y, w_off, k, l, m, n,
                      w_rank: int, precision):
     """Accumulated pixels pair [N(y), N(x), P] for one subgrid."""
     N = l.shape[0]
     P = vis_s[0].shape[-1]
-    phix, phiy, w_scaled = _axis_phasors(params, uvw_s, k, po_x, po_y, l, m)
+    phix, phiy, w_scaled = _axis_phasors(uvw_s, k, po_x, po_y, l, m)
     mu = w_off - w_scaled                                # [V]
     vis_flat = tuple(v.reshape(-1, P) for v in vis_s)    # [V, P]
     lhs = (phix[0].T, phix[1].T)                         # [N(x), V]
@@ -106,7 +106,7 @@ def _gridder_subgrid(params, uvw_s, vis_s, po_x, po_y, w_off, k, l, m, n,
     return pix_re, pix_im
 
 
-def _degridder_subgrid(params, uvw_s, pixels, po_x, po_y, w_off, k, l, m, n,
+def _degridder_subgrid(uvw_s, pixels, po_x, po_y, w_off, k, l, m, n,
                        w_rank: int, precision):
     """Visibilities pair [T, C, P] for one subgrid (adjoint direction).
 
@@ -117,7 +117,7 @@ def _degridder_subgrid(params, uvw_s, pixels, po_x, po_y, w_off, k, l, m, n,
     P = pixels[0].shape[-1]
     T = uvw_s.shape[0]
     C = k.shape[0]
-    phix, phiy, w_scaled = _axis_phasors(params, uvw_s, k, po_x, po_y, l, m)
+    phix, phiy, w_scaled = _axis_phasors(uvw_s, k, po_x, po_y, l, m)
     mu = w_off - w_scaled
     powers = n_powers(n, w_rank)
 
@@ -172,7 +172,7 @@ def gridder_xla_v4(
             gather_time(vis_im_flat, time_offset[None], T)[0],
         )
         pixels = _gridder_subgrid(
-            params, uvw_s, vis_s, pox_s, poy_s, woff_s, k, l, m, n,
+            uvw_s, vis_s, pox_s, poy_s, woff_s, k, l, m, n,
             w_rank, precision,
         )
         a1 = (sobs.at_re[a_idx, st1], sobs.at_im[a_idx, st1])
@@ -213,7 +213,7 @@ def degridder_xla_v4(
         a2 = (sobs.at_re[a_idx, st2], sobs.at_im[a_idx, st2])
         pixels = prepare_degridder_pixels((sub_re, sub_im), a1, a2, sph)
         return _degridder_subgrid(
-            params, uvw_s, pixels, pox_s, poy_s, woff_s, k, l, m, n,
+            uvw_s, pixels, pox_s, poy_s, woff_s, k, l, m, n,
             w_rank, precision,
         )
 
