@@ -492,29 +492,96 @@ def cmd_pipeline(args) -> int:
     version = args.version or ("pallas_v7" if degrid else "pallas_v6")
 
     if degrid:
-        from .ops.api import staged_degridder_consumer
-        from .ops.grid import (grid_to_subgrids_ranges,
-                               plan_grid_extract_ranges)
+        from .ops.api import (staged_degridder_chunk_consumers,
+                              staged_degridder_consumer)
+        from .ops.grid import (MAX_EXTRACT_SPAN, GridExtractRangePlan,
+                               grid_to_subgrids_ranges,
+                               plan_grid_extract_ranges, slice_extract_plan)
 
-        kfn, rversion = staged_degridder_consumer(
-            params, obs, version, w_rank=args.w_rank
-        )
+        from .ops.pallas.degridder import MAX_CHUNK
+
         eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n)
+        s_all = np.asarray(md.coord_x).shape[0]
+        if s_all > MAX_CHUNK and MAX_CHUNK % eplan.wc:
+            # per-chunk plan slicing needs wc | MAX_CHUNK — only
+            # reachable with an IDG_MAX_CHUNK override below the
+            # auto-tuned wc; rebuild with the largest compatible wc
+            wc = next(w for w in (64, 32, 16, 8, 4, 2, 1)
+                      if MAX_CHUNK % w == 0)
+            eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n,
+                                             wc=wc)
         rng = np.random.default_rng(11)
         grid_pair = jax.device_put(tuple(
             rng.normal(size=(params.nr_correlations, g, g))
             .astype(np.float32) for _ in range(2)
         ))
-        efn = jax.jit(lambda gr: grid_to_subgrids_ranges(
-            gr, cx, cy, n, apply_fft=True, plan=eplan))
+        d = params.nr_correlations * n * n
+        ranges_ok = d % 1024 == 0 and eplan.k_span <= MAX_EXTRACT_SPAN
+        consumers = None
+        if ranges_ok and not args.whole_extract:
+            consumers, bounds, rversion = staged_degridder_chunk_consumers(
+                params, obs, version, w_rank=args.w_rank, align=eplan.wc
+            )
+        if consumers is not None and len(consumers) > 1:
+            # per-chunk extraction: each degridder chunk consumes its own
+            # sliced-plan extraction directly, so the full [S, P, N, N]
+            # intermediate (and the per-chunk slice copies it forces,
+            # ~10 ms at the default size) never exists. The plan tables
+            # enter the jit as ARGUMENTS (a shim plan with static
+            # geometry) so one compiled extraction serves every chunk.
+            cxn = np.asarray(md.coord_x)
+            cyn = np.asarray(md.coord_y)
+            S = cxn.shape[0]
+            mc = bounds[0][1] - bounds[0][0]
 
-        def grid_stage(gr):
-            # leading-axis output slice (probe5: keeps kernel speed,
-            # bounds the timing queue's live buffers)
-            return tuple(v[:1] for v in efn(gr))
+            def eshim(gr, qb0, tmeta, cx_c, cy_c):
+                sp = GridExtractRangePlan(
+                    qb0, tmeta, eplan.k_span, eplan.wc, mc // eplan.wc,
+                    eplan.nby, eplan.nbx, mc, g, n,
+                )
+                return grid_to_subgrids_ranges(
+                    gr, cx_c, cy_c, n, apply_fft=True, plan=sp
+                )
 
-        def pass_fn(gr):
-            return kfn(efn(gr))
+            efn_one = jax.jit(eshim)
+            echunks = []
+            for lo, hi in bounds:
+                sp = slice_extract_plan(eplan, lo, hi)
+                pad = hi - min(hi, S)
+                cx_c = np.concatenate([cxn[lo:hi], np.repeat(cxn[-1:], pad)])
+                cy_c = np.concatenate([cyn[lo:hi], np.repeat(cyn[-1:], pad)])
+                echunks.append(jax.device_put(
+                    (sp.qb0, sp.tmeta, cx_c, cy_c)
+                ))
+
+            def grid_stage(gr):
+                out = None
+                for ec in echunks:
+                    out = tuple(v[:1] for v in efn_one(gr, *ec))
+                return out
+
+            def pass_fn(gr):
+                out = None
+                for ec, kc in zip(echunks, consumers):
+                    out = kc(efn_one(gr, *ec))
+                return out
+        else:
+            if consumers is not None:
+                kfn = consumers[0]
+            else:
+                kfn, rversion = staged_degridder_consumer(
+                    params, obs, version, w_rank=args.w_rank
+                )
+            efn = jax.jit(lambda gr: grid_to_subgrids_ranges(
+                gr, cx, cy, n, apply_fft=True, plan=eplan))
+
+            def grid_stage(gr):
+                # leading-axis output slice (probe5: keeps kernel speed,
+                # bounds the timing queue's live buffers)
+                return tuple(v[:1] for v in efn(gr))
+
+            def pass_fn(gr):
+                return kfn(efn(gr))
 
         stage_args = (grid_pair,)
         kernel_args = None
@@ -779,6 +846,10 @@ def main(argv=None) -> int:
                         help="kernel version (default pallas_v6 gridder / "
                              "pallas_v7 degridder)")
     p_pipe.add_argument("--w-rank", type=int, default=None)
+    p_pipe.add_argument("--whole-extract", action="store_true",
+                        help="degrid direction: extract all subgrids in "
+                        "one pass and dynamic-slice chunks into the "
+                        "degridder instead of per-chunk extraction (A/B)")
     p_pipe.add_argument("--suffix", default="")
     p_pipe.set_defaults(fn=cmd_pipeline)
 

@@ -420,17 +420,24 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     return jit_fn, (params, sobs, sub_pair)
 
 
-def staged_degridder_consumer(params: IDGParams, obs: Observation,
-                              version: str = "pallas_v7", w_rank=None):
-    """For pipeline benchmarking: returns (fn, resolved_version) where
-    fn(sub_pair) degrids a FULL [S, P, N, N] split pair produced on
-    device (e.g. by the grid-extraction stage) — the degridding dual of
-    staged_runner's gridder entry. The observation is staged once,
-    vis-free; for S > MAX_CHUNK the subgrid input is chunk-sliced INSIDE
-    each chunk's jit (dynamic_slice fuses into the operand copy, so no
-    host-visible intermediate or S-minor relayout appears). Outputs are
-    leading-axis-sliced to keep the timing queue's buffers small (see
-    staged_runner's chunked path for the probe5 rationale)."""
+def _degridder_staged_chunks(params: IDGParams, obs: Observation,
+                             version: str, w_rank, align: int = 1):
+    """Shared staging for the pipeline degridder consumers: resolve the
+    version, stage the observation vis-free, and split the staging into
+    uniform MAX_CHUNK row-major-pinned slices.
+
+    Returns (run_fn, chunks, starts, chunk, version) where chunks[i]
+    covers subgrid rows [starts[i], starts[i] + chunk). For
+    S ≤ MAX_CHUNK there is one unpadded chunk of S rows; otherwise
+    starts are i·MAX_CHUNK with the LAST start pulled back to
+    roundup(S − MAX_CHUNK, align) — every real row is covered by
+    construction (the tail chunk re-reads a few already-covered rows,
+    pessimistic direction for timing). The staged slice and the subgrid
+    input must ALWAYS share the same start: the earlier clamped
+    dynamic_slice against i·MAX_CHUNK-aligned staged slices paired rows
+    off by S_pad − S across the whole tail chunk. `align` (must divide
+    MAX_CHUNK) lets a per-chunk upstream producer — the sliced
+    extraction plan, slice_extract_plan — keep its own wc boundaries."""
     import dataclasses as _dc
 
     import jax.numpy as jnp
@@ -440,6 +447,8 @@ def staged_degridder_consumer(params: IDGParams, obs: Observation,
     from .pallas.common import slice_staged
     from .pallas.degridder import MAX_CHUNK
 
+    if align < 1 or MAX_CHUNK % align:
+        raise ValueError(f"align={align} must divide MAX_CHUNK={MAX_CHUNK}")
     version, w_rank = _resolve("degridder", version, params, obs, w_rank)
     if ("degridder", version) not in STAGED:
         raise ValueError(f"degridder {version} has no staged split")
@@ -454,47 +463,72 @@ def staged_degridder_consumer(params: IDGParams, obs: Observation,
         static_argnums=0,
     )(params, sobs)
     s = stg.uvw.shape[0]
-
-    def _slim(out):
-        return jax.tree_util.tree_map(lambda x: x[:1], out)
-
     if s <= MAX_CHUNK:
-        # pin the staged arrays row-major like staged_runner/the chunked
-        # path below — XLA otherwise re-inserts an S-minor relayout copy
-        # into every timed launch
-        stg = _pin_rowmajor(stg)
+        # pin the staged arrays row-major like the chunked path below —
+        # XLA otherwise re-inserts an S-minor relayout copy into every
+        # timed launch
+        chunks = [_pin_rowmajor(stg)]
+        starts = [0]
+        chunk = s
+    else:
+        chunk = MAX_CHUNK
+        n_chunks = math.ceil(s / MAX_CHUNK)
+        last = -(-(s - MAX_CHUNK) // align) * align
+        starts = [i * MAX_CHUNK for i in range(n_chunks - 1)] + [last]
+        hi_max = last + MAX_CHUNK
+        if hi_max > s:
+            from .pallas.common import _PER_SUBGRID_FIELDS
+
+            pad = hi_max - s
+            updates = {
+                name: jnp.pad(
+                    getattr(stg, name),
+                    [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+                )
+                for name in _PER_SUBGRID_FIELDS
+                if getattr(stg, name) is not None
+            }
+            stg = _dc.replace(stg, **updates)
+        chunks = [
+            _pin_rowmajor(slice_staged(stg, lo, lo + MAX_CHUNK))
+            for lo in starts
+        ]
+    jax.block_until_ready(jax.tree_util.tree_leaves(chunks))
+    del stg
+    return run_fn, chunks, starts, chunk, version
+
+
+def _slim(out):
+    """Leading-axis output slice: keeps the timing queue's live buffers
+    small without dead-coding the (opaque) pallas_call — probe5: x[:1]
+    keeps full kernel speed, slicing minor dims too costs 2.2×."""
+    return jax.tree_util.tree_map(lambda x: x[:1], out)
+
+
+def staged_degridder_consumer(params: IDGParams, obs: Observation,
+                              version: str = "pallas_v7", w_rank=None):
+    """For pipeline benchmarking: returns (fn, resolved_version) where
+    fn(sub_pair) degrids a FULL [S, P, N, N] split pair produced on
+    device (e.g. by the grid-extraction stage) — the degridding dual of
+    staged_runner's gridder entry. The observation is staged once,
+    vis-free; for S > MAX_CHUNK the subgrid input is chunk-sliced INSIDE
+    each chunk's jit (dynamic_slice fuses into the operand copy, so no
+    host-visible intermediate or S-minor relayout appears). Outputs are
+    leading-axis-sliced to keep the timing queue's buffers small (see
+    staged_runner's chunked path for the probe5 rationale)."""
+    run_fn, chunks, starts, chunk, version = _degridder_staged_chunks(
+        params, obs, version, w_rank
+    )
+    if len(chunks) == 1:
+        stg0 = chunks[0]
         run = jax.jit(
             lambda p, st, sub: _slim(run_fn(p, st, sub)), static_argnums=0
         )
-        return (lambda sub: run(params, stg, sub)), version
-
-    n_chunks = math.ceil(s / MAX_CHUNK)
-    s_pad = n_chunks * MAX_CHUNK
-    if s_pad != s:
-        from .pallas.common import _PER_SUBGRID_FIELDS
-
-        pad = s_pad - s
-        updates = {
-            name: jnp.pad(
-                getattr(stg, name),
-                [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
-            )
-            for name in _PER_SUBGRID_FIELDS
-            if getattr(stg, name) is not None
-        }
-        stg = _dc.replace(stg, **updates)
-    chunks = [
-        _pin_rowmajor(slice_staged(stg, lo, lo + MAX_CHUNK))
-        for lo in range(0, s_pad, MAX_CHUNK)
-    ]
-    jax.block_until_ready(jax.tree_util.tree_leaves(chunks))
-    del stg
+        return (lambda sub: run(params, stg0, sub)), version
 
     def _one(p, st, sub, lo):
-        # clamped dynamic slice: the tail chunk re-reads trailing rows
-        # instead of padding the (device-produced) subgrid input
         sub_c = tuple(
-            jax.lax.dynamic_slice_in_dim(v, lo, MAX_CHUNK) for v in sub
+            jax.lax.dynamic_slice_in_dim(v, lo, chunk) for v in sub
         )
         return _slim(run_fn(p, st, sub_c))
 
@@ -502,8 +536,34 @@ def staged_degridder_consumer(params: IDGParams, obs: Observation,
 
     def fn(sub):
         out = None
-        for i, st in enumerate(chunks):
-            out = run(params, st, sub, i * MAX_CHUNK)
+        for st, lo in zip(chunks, starts):
+            out = run(params, st, sub, lo)
         return out
 
     return fn, version
+
+
+def staged_degridder_chunk_consumers(params: IDGParams, obs: Observation,
+                                     version: str = "pallas_v7",
+                                     w_rank=None, align: int = 1):
+    """Per-chunk duals of staged_degridder_consumer: returns
+    (consumers, bounds, resolved_version) where consumers[i](sub_c)
+    degrids a [hi−lo, P, N, N] split pair covering subgrid rows
+    [lo, hi) = bounds[i], produced directly upstream — e.g. by a
+    slice_extract_plan extraction — so the full-S subgrid intermediate
+    and its per-chunk slice copies never exist. The tail chunk's bounds
+    may overlap the previous chunk and extend past the real S (the
+    upstream producer pads; overlapping/padded output rows are
+    re-computed/discarded). `align` forces every start onto a multiple
+    (pass the extraction plan's wc); it must divide MAX_CHUNK."""
+    run_fn, chunks, starts, chunk, version = _degridder_staged_chunks(
+        params, obs, version, w_rank, align
+    )
+    run = jax.jit(
+        lambda p, st, sub: _slim(run_fn(p, st, sub)), static_argnums=0
+    )
+    consumers = [
+        (lambda sub, st=st: run(params, st, sub)) for st in chunks
+    ]
+    bounds = [(lo, lo + chunk) for lo in starts]
+    return consumers, bounds, version

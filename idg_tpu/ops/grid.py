@@ -886,6 +886,45 @@ def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
                                 nbx, s, g, n)
 
 
+def slice_extract_plan(plan: GridExtractRangePlan, lo: int,
+                       hi: int) -> GridExtractRangePlan:
+    """Sub-plan over tile rows [lo, hi) — for per-consumer-chunk
+    extraction (e.g. one extraction per degridder MAX_CHUNK, so the
+    full-S subgrid intermediate and its slice copies never exist).
+
+    lo/hi must be multiples of plan.wc so chunk boundaries align. Rows
+    past the parent's table are padded by repeating its last row (same
+    relative block id → still inside every window; the values extracted
+    there are real grid data the consumer discards). The sub-plan
+    claims all hi−lo rows as real (nr_subgrids = hi−lo) so the
+    extraction returns a full uniform chunk — pass coords edge-padded
+    the same way for the roll phases, and drop rows ≥ the parent's
+    nr_subgrids downstream. k_span is inherited from the parent so
+    every sub-plan shares one _grid_to_blocks_padded layout."""
+    if lo % plan.wc or hi % plan.wc:
+        raise ValueError(
+            f"slice bounds ({lo}, {hi}) must be multiples of wc={plan.wc}"
+        )
+    if not lo < hi:
+        raise ValueError(f"empty slice ({lo}, {hi})")
+    rows = hi - lo
+    sp = plan.tmeta.shape[0]
+    tm = np.asarray(plan.tmeta)[lo:min(hi, sp)]
+    if tm.shape[0] < rows:
+        fill = tm[-1:] if tm.shape[0] else np.zeros((1, 1, 4), np.int32)
+        tm = np.concatenate(
+            [tm, np.repeat(fill, rows - tm.shape[0], axis=0)]
+        )
+    qb = np.asarray(plan.qb0)[lo // plan.wc:hi // plan.wc]
+    nq = rows // plan.wc
+    if qb.shape[0] < nq:
+        fill = qb[-1:] if qb.shape[0] else np.zeros(1, np.int32)
+        qb = np.concatenate([qb, np.repeat(fill, nq - qb.shape[0])])
+    return GridExtractRangePlan(qb, tm, plan.k_span, plan.wc, nq,
+                                plan.nby, plan.nbx, rows, plan.grid_size,
+                                plan.subgrid_size)
+
+
 def _grid_to_blocks_padded(grid: Pair, n: int, k_span: int) -> Pair:
     """[P, G, G] grid → periodic-padded unwrapped block rows
     [(nby+1)·(nbx+1) + pad, 8, d8] (wrap pad, pure reshape/transpose,

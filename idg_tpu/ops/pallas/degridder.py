@@ -36,7 +36,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...config import IDGParams
+from ...config import IDGParams, get_env_var
 from ...types import SplitObservation
 from ..complexpair import Pair
 from ..registry import register
@@ -486,7 +486,10 @@ def _degridder_sep_recur(params, sobs, subgrids, w_rank, precisions, interpret,
     )
 
 
-MAX_CHUNK = 8192  # subgrids per pallas_call (compile-helper memory bound)
+# Subgrids per pallas_call (remote AOT compile-helper memory bound).
+# IDG_MAX_CHUNK overrides for chunk-size A/Bs and for exercising the
+# chunked paths at test problem sizes.
+MAX_CHUNK = get_env_var("IDG_MAX_CHUNK", 8192)
 
 
 def _chunked(run_one, params, stg, subgrids, *a, **kw):

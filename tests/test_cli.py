@@ -171,6 +171,23 @@ def test_cli_pipeline_both_directions(tmp_path):
     assert list(tmp_path.glob("*pipeline_degrid_pallas_*-tpu.csv"))
 
 
+def test_cli_pipeline_degrid_chunked(tmp_path):
+    """IDG_MAX_CHUNK below S engages the per-chunk extraction→degridder
+    composition (sliced plans, one consumer per chunk)."""
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2",
+               IDG_MAX_CHUNK="4")
+    proc = _run(["pipeline", "--direction", "degrid"], extra_env=env,
+                timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert "stage split" in proc.stdout
+    assert list(tmp_path.glob("*pipeline_degrid_pallas_*-tpu.csv"))
+    # the A/B flag restores the monolithic extraction + dynamic-slice path
+    proc = _run(["pipeline", "--direction", "degrid", "--whole-extract",
+                 "--suffix", "_whole"], extra_env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*pipeline_degrid_pallas_*_whole-tpu.csv"))
+
+
 def test_cli_scaling_pipeline_ranges():
     env = dict(
         SMALL_ENV,
