@@ -408,7 +408,7 @@ def cmd_grid(args) -> int:
         ))
         use_ranges = args.method in ("auto", "ranges") and g % n == 0
         if use_ranges:
-            from .ops.grid import (MAX_EXTRACT_SPAN,
+            from .ops.grid import (extract_ranges_eligible,
                                    grid_to_subgrids_ranges,
                                    plan_grid_extract_ranges,
                                    sorted_block_coords)
@@ -416,10 +416,13 @@ def cmd_grid(args) -> int:
             order, cx_s, cy_s = sorted_block_coords(md.coord_x, md.coord_y,
                                                     g, n)
             eplan = plan_grid_extract_ranges(cx_s, cy_s, g, n)
-            use_ranges = eplan.k_span <= MAX_EXTRACT_SPAN
+            use_ranges = extract_ranges_eligible(
+                eplan, params.nr_correlations, g, n
+            )
             print(f"grid-extract range plan: {eplan.n_chunks} chunks of "
                   f"{eplan.wc}, window {eplan.k_span}"
-                  + ("" if use_ranges else " -> fallback gather (sparse)"))
+                  + ("" if use_ranges
+                     else " -> fallback gather (payload/memory)"))
         if use_ranges:
             cx = jax.device_put(cx_s)
             cy = jax.device_put(cy_s)
@@ -494,7 +497,7 @@ def cmd_pipeline(args) -> int:
     if degrid:
         from .ops.api import (staged_degridder_chunk_consumers,
                               staged_degridder_consumer)
-        from .ops.grid import (MAX_EXTRACT_SPAN, GridExtractRangePlan,
+        from .ops.grid import (GridExtractRangePlan, extract_ranges_eligible,
                                grid_to_subgrids_ranges,
                                plan_grid_extract_ranges, slice_extract_plan)
 
@@ -515,8 +518,9 @@ def cmd_pipeline(args) -> int:
             rng.normal(size=(params.nr_correlations, g, g))
             .astype(np.float32) for _ in range(2)
         ))
-        d = params.nr_correlations * n * n
-        ranges_ok = d % 1024 == 0 and eplan.k_span <= MAX_EXTRACT_SPAN
+        ranges_ok = extract_ranges_eligible(
+            eplan, params.nr_correlations, g, n
+        )
         consumers = None
         if ranges_ok and not args.whole_extract:
             consumers, bounds, rversion = staged_degridder_chunk_consumers(

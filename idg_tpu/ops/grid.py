@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..config import get_env_var
 from .complexpair import Pair
 
 
@@ -829,6 +830,24 @@ class GridExtractRangePlan:
 MAX_EXTRACT_SPAN = 64
 
 
+def extract_ranges_eligible(plan, p: int, g: int, n: int) -> bool:
+    """True when the range-window extraction kernel applies: lane-divisible
+    payload, window height within MAX_EXTRACT_SPAN (unreachable for
+    auto-tuned plans — wc=1 always satisfies it — but explicit-wc plans
+    can exceed), and the periodic-padded block copy fits: it costs ~a
+    full extra grid per component, which at HBM-capacity grids (16384²
+    full-pol ≈ 8.6 GB of copies next to the 8.6 GB grid) OOMs — those go
+    to the windowed XLA gather (IDG_MAX_EXTRACT_BYTES overrides)."""
+    d = p * n * n
+    nb1 = g // n + 1
+    return (
+        d % 1024 == 0
+        and plan.k_span <= MAX_EXTRACT_SPAN
+        and 2 * nb1 * nb1 * d * 4
+        <= get_env_var("IDG_MAX_EXTRACT_BYTES", 6 << 30)
+    )
+
+
 def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
                              subgrid_size: int,
                              wc: int | None = None) -> GridExtractRangePlan:
@@ -872,9 +891,14 @@ def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
         return n_chunks, s_pad, qb0, rel, k_span
 
     if wc is None:
-        for wc in (64, 32, 16, 8):
+        # wc=1 always satisfies the span bound (each tile is its own
+        # chunk → rel ≡ 0, k_span = 1), so arbitrarily sparse plans —
+        # blocks ≫ subgrids, e.g. S=24500 on a 16384² grid — stay on
+        # the range kernel (per-tile static windows) instead of the
+        # blocked XLA gather fallback
+        for wc in (64, 32, 16, 8, 4, 2, 1):
             n_chunks, s_pad, qb0, rel, k_span = span_for(wc)
-            if k_span <= MAX_EXTRACT_SPAN or wc == 8:
+            if k_span <= MAX_EXTRACT_SPAN:
                 break
     else:
         n_chunks, s_pad, qb0, rel, k_span = span_for(wc)
@@ -1060,7 +1084,7 @@ def grid_to_subgrids_ranges(
         return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     if plan is None:
         plan = plan_grid_extract_ranges(coord_x, coord_y, g, n)
-    if plan.k_span > MAX_EXTRACT_SPAN:
+    if not extract_ranges_eligible(plan, p, g, n):
         return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     s = plan.nr_subgrids
     blocks = _grid_to_blocks_padded(grid, n, plan.k_span)

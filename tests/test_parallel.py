@@ -380,6 +380,40 @@ def test_grid_extract_ranges_matches_gather(small_params):
                                    np.asarray(b[1]) / scale, atol=3e-6)
 
 
+def test_grid_extract_ranges_sparse_plan(small_params):
+    """Sparse block occupancy (blocks ≫ tiles, the 16384²-scale regime):
+    the auto-tune drops wc below 8 — down to per-tile chunks (wc=1,
+    k_span=1) — so the range kernel still applies instead of the XLA
+    gather fallback."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.grid import (MAX_EXTRACT_SPAN, block_sort_order,
+                                  grid_to_subgrids, grid_to_subgrids_ranges,
+                                  plan_grid_extract_ranges)
+
+    rng = np.random.default_rng(29)
+    s, p, n, g = 9, 4, 16, 512  # 32×32 = 1024 blocks for 9 tiles
+    cx = rng.integers(0, g, s).astype(np.int32)
+    cy = rng.integers(0, g, s).astype(np.int32)
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = cx[order], cy[order]
+    plan = plan_grid_extract_ranges(cx, cy, g, n)
+    assert plan.wc < 8 and plan.k_span <= MAX_EXTRACT_SPAN
+    grid = (
+        jnp.asarray(rng.normal(size=(p, g, g)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(p, g, g)).astype(np.float32)),
+    )
+    a = grid_to_subgrids(grid, jnp.asarray(cx), jnp.asarray(cy), n,
+                         apply_fft=True)
+    b = grid_to_subgrids_ranges(grid, jnp.asarray(cx), jnp.asarray(cy), n,
+                                apply_fft=True, plan=plan, interpret=True)
+    scale = max(float(np.abs(np.asarray(a[0])).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(a[0]) / scale,
+                               np.asarray(b[0]) / scale, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(a[1]) / scale,
+                               np.asarray(b[1]) / scale, atol=3e-6)
+
+
 def test_grid_add_ranges_streamed_matches_fused(small_params, monkeypatch):
     """The per-stripe-jit streamed ranges formulation (HBM-capacity
     grids) reassembles to the fused ranges grid, including with stripes
