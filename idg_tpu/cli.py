@@ -407,9 +407,11 @@ def cmd_grid(args) -> int:
             np.zeros((params.nr_correlations, g, g), np.float32),
         ))
         use_ranges = args.method in ("auto", "ranges") and g % n == 0
+        use_streamed = False
         if use_ranges:
-            from .ops.grid import (extract_ranges_eligible,
+            from .ops.grid import (MAX_EXTRACT_SPAN, extract_ranges_eligible,
                                    grid_to_subgrids_ranges,
+                                   grid_to_subgrids_ranges_streamed,
                                    plan_grid_extract_ranges,
                                    sorted_block_coords)
 
@@ -419,15 +421,30 @@ def cmd_grid(args) -> int:
             use_ranges = extract_ranges_eligible(
                 eplan, params.nr_correlations, g, n
             )
+            d = params.nr_correlations * n * n
+            # memory is the only failing condition → the per-stripe
+            # streamed formulation (only a stripe of padded block rows
+            # is ever materialized)
+            use_streamed = (not use_ranges and d % 1024 == 0
+                            and eplan.k_span <= MAX_EXTRACT_SPAN)
             print(f"grid-extract range plan: {eplan.n_chunks} chunks of "
                   f"{eplan.wc}, window {eplan.k_span}"
                   + ("" if use_ranges
-                     else " -> fallback gather (payload/memory)"))
-        if use_ranges:
+                     else (" -> streamed per-stripe ranges" if use_streamed
+                           else " -> fallback gather (payload)")))
+        if use_ranges or use_streamed:
             cx = jax.device_put(cx_s)
             cy = jax.device_put(cy_s)
-            fn = jax.jit(lambda gr, x, y: grid_to_subgrids_ranges(
-                gr, x, y, n, apply_fft, plan=eplan))
+            if use_streamed:
+                def fn(gr, x, y):
+                    out = grid_to_subgrids_ranges_streamed(
+                        gr, x, y, n, apply_fft, plan=eplan)
+                    # leading-axis slim: the timing queue otherwise pins
+                    # several ~0.8 GB outputs next to the near-HBM grid
+                    return tuple(v[:1] for v in out)
+            else:
+                fn = jax.jit(lambda gr, x, y: grid_to_subgrids_ranges(
+                    gr, x, y, n, apply_fft, plan=eplan))
             name = ("grid_extract" if args.method == "auto"
                     else "grid_extract_ranges") + args.suffix
         else:

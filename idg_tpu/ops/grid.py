@@ -1090,16 +1090,129 @@ def grid_to_subgrids_ranges(
     blocks = _grid_to_blocks_padded(grid, n, plan.k_span)
     rolled = _grid_extract_ranges(blocks, plan, interpret)
     rolled = tuple(v[:s].reshape(s, p, n, n) for v in rolled)
-    if not apply_fft:
-        # undo the roll in image space (permutation matmul; the fft path
-        # folds it into the DFT phases instead)
-        cy = coord_y.astype(jnp.int32) % g
-        cx = coord_x.astype(jnp.int32) % g
-        return _roll_tiles(rolled, (n - cy % n) % n, (n - cx % n) % n)
-    x = fft2_shift_pair(rolled, inverse=False)
+    return _finish_extract(rolled, coord_x, coord_y, g, n, apply_fft)
+
+
+def _finish_extract(rolled: Pair, coord_x, coord_y, g: int, n: int,
+                    apply_fft: bool) -> Pair:
+    """Shared tail of the range extractions: undo the block roll — in
+    image space for the no-fft path, or folded into the forward DFT as
+    conjugate Fourier phases."""
     cy = coord_y.astype(jnp.int32) % g
     cx = coord_x.astype(jnp.int32) % g
+    if not apply_fft:
+        return _roll_tiles(rolled, (n - cy % n) % n, (n - cx % n) % n)
+    x = fft2_shift_pair(rolled, inverse=False)
     return _phase_roll_fourier(x, cy % n, cx % n, sign=+1.0, shifted=True)
+
+
+@lru_cache(maxsize=8)
+def _extract_streamed_fns(p: int, g: int, n: int, hr: int, ch: int,
+                          k_span: int, wc: int, nbx: int, interpret: bool):
+    """Cached jitted one_stripe for the streamed extraction: one traced
+    program serves every stripe — uniform hr block-rows and ch chunks;
+    the stripe's grid-row indices, validity mask, and rebased plan
+    tables enter as arguments."""
+    d = p * n * n
+    d8 = d // 8
+    nbu = nbx + 1
+    rows_real = hr * nbu
+    zpad = 2 * k_span + (-(rows_real + 2 * k_span) % k_span)
+
+    @jax.jit
+    def one_stripe(grid, y_idx, y_ok, qb0, tmeta):
+        shim = GridExtractRangePlan(qb0, tmeta, k_span, wc, ch,
+                                    0, nbx, ch * wc, g, n)
+        blocks = []
+        for v in grid:
+            vp = jnp.take(v, y_idx, axis=1) * y_ok[None, :, None]
+            vp = jnp.pad(vp, ((0, 0), (0, 0), (0, n)), mode="wrap")
+            rows = (vp.reshape(p, hr, n, nbu, n)
+                    .transpose(1, 3, 0, 2, 4)
+                    .reshape(rows_real, 8, d8))
+            blocks.append(jnp.concatenate(
+                [rows, jnp.zeros((zpad, 8, d8), rows.dtype)]
+            ))
+        return _grid_extract_ranges(tuple(blocks), shim, interpret)
+
+    return one_stripe
+
+
+def grid_to_subgrids_ranges_streamed(
+    grid: Pair, coord_x, coord_y, subgrid_size: int, apply_fft: bool = True,
+    interpret=None, plan: GridExtractRangePlan | None = None,
+    stripe_rows: int | None = None,
+) -> Pair:
+    """grid_to_subgrids_ranges for HBM-capacity grids (e.g. 16384²
+    full-pol, where the monolithic periodic-padded block copy costs a
+    full extra grid per component and OOMs next to the grid): the grid
+    is processed in BLOCK-ROW STRIPES — each stripe materializes only
+    its own hr padded block-rows and extracts the contiguous,
+    block-sorted chunk range whose home rows fall in it. Requires
+    block-sorted coords; output matches grid_to_subgrids_ranges.
+
+    The [S, P, N, N] result (~0.8 GB at the default S) is still built
+    whole — it is the grid-side block copy this avoids. Chunk counts
+    are padded to the max per stripe (dummy chunks read stripe row 0
+    and are dropped) so ONE traced program serves every stripe."""
+    from .pallas.common import use_interpret
+
+    if interpret is None:
+        interpret = use_interpret()
+    n = subgrid_size
+    p, g, _ = grid[0].shape
+    d = p * n * n
+    if d % 1024:
+        raise ValueError("streamed extraction needs a lane-divisible payload")
+    if plan is None:
+        plan = plan_grid_extract_ranges(coord_x, coord_y, g, n)
+    if plan.k_span > MAX_EXTRACT_SPAN:
+        raise ValueError(
+            f"plan window {plan.k_span} > {MAX_EXTRACT_SPAN}; auto-tuned "
+            "plans always satisfy this — re-plan without an explicit wc"
+        )
+    s = plan.nr_subgrids
+    ks, wc = plan.k_span, plan.wc
+    nbu = plan.nbx + 1
+    nb1 = g // n + 1
+    qb0 = np.asarray(plan.qb0).astype(np.int32)
+    tmeta = np.asarray(plan.tmeta)
+    r_chunk = qb0 // nbu                      # home block-row per chunk
+    # rows a chunk can touch beyond its home row: within-chunk id spread
+    # (k_span) + the +1 quadrant row offset
+    cover = int(np.ceil((ks + nbu + 1) / nbu)) + 1
+    if stripe_rows is None:
+        budget = get_env_var("IDG_EXTRACT_STRIPE_BYTES", 1 << 29)
+        stripe_rows = max(cover + 1, budget // (nbu * d * 4))
+    h = int(stripe_rows)
+    hr = h + cover
+    edges = np.searchsorted(r_chunk, np.arange(0, nb1 + h, h), side="left")
+    spans = [(k, int(edges[k]), int(edges[k + 1]))
+             for k in range(len(edges) - 1) if edges[k + 1] > edges[k]]
+    if not spans:
+        raise ValueError("empty extraction plan")
+    ch = max(c1 - c0 for _, c0, c1 in spans)
+    one_stripe = _extract_streamed_fns(p, g, n, hr, ch, ks, wc, plan.nbx,
+                                       bool(interpret))
+    outs = []
+    for k, c0, c1 in spans:
+        r0 = k * h
+        qb = qb0[c0:c1] - np.int32(r0 * nbu)
+        tm = tmeta[c0 * wc:c1 * wc]
+        if c1 - c0 < ch:
+            pad = ch - (c1 - c0)
+            qb = np.concatenate([qb, np.zeros(pad, np.int32)])
+            tm = np.concatenate([tm, np.zeros((pad * wc, 1, 4), tm.dtype)])
+        rows_i = r0 * n + np.arange(hr * n)
+        y_idx = (rows_i % g).astype(np.int32)
+        y_ok = (rows_i // n < nb1).astype(np.float32)
+        out = one_stripe(grid, y_idx, y_ok, qb, tm)
+        outs.append(tuple(v[:(c1 - c0) * wc] for v in out))
+    rolled = tuple(
+        jnp.concatenate([o[i] for o in outs])[:s].reshape(s, p, n, n)
+        for i in (0, 1)
+    )
+    return _finish_extract(rolled, coord_x, coord_y, g, n, apply_fft)
 
 
 @lru_cache(maxsize=8)

@@ -156,6 +156,14 @@ def test_cli_grid_stage_ranges_and_extract(tmp_path):
                 extra_env=env)
     assert proc.returncode == 0, proc.stderr
     assert list(tmp_path.glob("*grid_extract_ranges-tpu.csv"))
+    # memory guard tripped -> per-stripe streamed extraction
+    proc = _run(["grid", "--direction", "to-subgrids", "--method", "ranges",
+                 "--suffix", "_str"],
+                extra_env=dict(env, IDG_MAX_EXTRACT_BYTES="1",
+                               NR_ITERATIONS="1"))
+    assert proc.returncode == 0, proc.stderr
+    assert "streamed per-stripe ranges" in proc.stdout
+    assert list(tmp_path.glob("*grid_extract_ranges_str-tpu.csv"))
 
 
 def test_cli_pipeline_both_directions(tmp_path):

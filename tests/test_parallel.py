@@ -414,6 +414,41 @@ def test_grid_extract_ranges_sparse_plan(small_params):
                                np.asarray(b[1]) / scale, atol=3e-6)
 
 
+@pytest.mark.parametrize("fft", [False, True])
+def test_grid_extract_ranges_streamed_matches_fused(small_params, fft):
+    """The per-stripe streamed extraction (HBM-capacity grids: only a
+    stripe of padded block rows is ever materialized) reproduces the
+    fused range extraction, including with stripes forced down to a
+    couple of block rows (chunks straddling stripe boundaries, dummy
+    chunk padding, the wrap row in the last stripe)."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.grid import (block_sort_order, grid_to_subgrids_ranges,
+                                  grid_to_subgrids_ranges_streamed)
+
+    rng = np.random.default_rng(31)
+    s, p, n, g = 23, 4, 16, 128
+    cx = rng.integers(0, g, s).astype(np.int32)
+    cy = rng.integers(0, g, s).astype(np.int32)
+    # include an overhanging tile so the wrap row participates
+    cx[0], cy[0] = g - n // 2, g - n // 2
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = jnp.asarray(cx[order]), jnp.asarray(cy[order])
+    grid = (
+        jnp.asarray(rng.normal(size=(p, g, g)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(p, g, g)).astype(np.float32)),
+    )
+    a = grid_to_subgrids_ranges(grid, cx, cy, n, apply_fft=fft,
+                                interpret=True)
+    for stripe_rows in (2, 3, 64):
+        b = grid_to_subgrids_ranges_streamed(
+            grid, cx, cy, n, apply_fft=fft, interpret=True,
+            stripe_rows=stripe_rows,
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def test_grid_add_ranges_streamed_matches_fused(small_params, monkeypatch):
     """The per-stripe-jit streamed ranges formulation (HBM-capacity
     grids) reassembles to the fused ranges grid, including with stripes
