@@ -409,7 +409,8 @@ def cmd_grid(args) -> int:
         use_ranges = args.method in ("auto", "ranges") and g % n == 0
         use_streamed = False
         if use_ranges:
-            from .ops.grid import (MAX_EXTRACT_SPAN, extract_ranges_eligible,
+            from .ops.grid import (extract_ranges_eligible,
+                                   extract_streamed_eligible,
                                    grid_to_subgrids_ranges,
                                    grid_to_subgrids_ranges_streamed,
                                    plan_grid_extract_ranges,
@@ -421,12 +422,12 @@ def cmd_grid(args) -> int:
             use_ranges = extract_ranges_eligible(
                 eplan, params.nr_correlations, g, n
             )
-            d = params.nr_correlations * n * n
             # memory is the only failing condition → the per-stripe
             # streamed formulation (only a stripe of padded block rows
             # is ever materialized)
-            use_streamed = (not use_ranges and d % 1024 == 0
-                            and eplan.k_span <= MAX_EXTRACT_SPAN)
+            use_streamed = not use_ranges and extract_streamed_eligible(
+                eplan, params.nr_correlations, g, n
+            )
             print(f"grid-extract range plan: {eplan.n_chunks} chunks of "
                   f"{eplan.wc}, window {eplan.k_span}"
                   + ("" if use_ranges
@@ -526,8 +527,9 @@ def cmd_pipeline(args) -> int:
             # per-chunk plan slicing needs wc | MAX_CHUNK — only
             # reachable with an IDG_MAX_CHUNK override below the
             # auto-tuned wc; rebuild with the largest compatible wc
-            wc = next(w for w in (64, 32, 16, 8, 4, 2, 1)
-                      if MAX_CHUNK % w == 0)
+            from .ops.grid import EXTRACT_WC_LADDER
+
+            wc = next(w for w in EXTRACT_WC_LADDER if MAX_CHUNK % w == 0)
             eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n,
                                              wc=wc)
         rng = np.random.default_rng(11)

@@ -447,8 +447,6 @@ def _degridder_staged_chunks(params: IDGParams, obs: Observation,
     from .pallas.common import slice_staged
     from .pallas.degridder import MAX_CHUNK
 
-    if align < 1 or MAX_CHUNK % align:
-        raise ValueError(f"align={align} must divide MAX_CHUNK={MAX_CHUNK}")
     version, w_rank = _resolve("degridder", version, params, obs, w_rank)
     if ("degridder", version) not in STAGED:
         raise ValueError(f"degridder {version} has no staged split")
@@ -471,6 +469,12 @@ def _degridder_staged_chunks(params: IDGParams, obs: Observation,
         starts = [0]
         chunk = s
     else:
+        # align only matters once chunking engages (a single-chunk
+        # staging has no boundaries to align)
+        if align < 1 or MAX_CHUNK % align:
+            raise ValueError(
+                f"align={align} must divide MAX_CHUNK={MAX_CHUNK}"
+            )
         chunk = MAX_CHUNK
         n_chunks = math.ceil(s / MAX_CHUNK)
         last = -(-(s - MAX_CHUNK) // align) * align

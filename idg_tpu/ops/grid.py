@@ -829,6 +829,11 @@ class GridExtractRangePlan:
 # quadrant) stops paying vs the blocked XLA gather — callers fall back.
 MAX_EXTRACT_SPAN = 64
 
+# Auto-tune candidates for tiles-per-chunk, largest first; wc=1 always
+# satisfies the span bound (per-tile chunks have rel ≡ 0). Shared with
+# callers that must re-plan under a chunk-divisibility constraint.
+EXTRACT_WC_LADDER = (64, 32, 16, 8, 4, 2, 1)
+
 
 def extract_ranges_eligible(plan, p: int, g: int, n: int) -> bool:
     """True when the range-window extraction kernel applies: lane-divisible
@@ -846,6 +851,15 @@ def extract_ranges_eligible(plan, p: int, g: int, n: int) -> bool:
         and 2 * nb1 * nb1 * d * 4
         <= get_env_var("IDG_MAX_EXTRACT_BYTES", 6 << 30)
     )
+
+
+def extract_streamed_eligible(plan, p: int, g: int, n: int) -> bool:
+    """True when the per-stripe streamed extraction applies: everything
+    extract_ranges_eligible requires EXCEPT the block-copy memory bound
+    (the stripes exist to dodge it). Keeps the 'memory is the only
+    failing condition' routing rule co-located with the conditions."""
+    d = p * n * n
+    return d % 1024 == 0 and plan.k_span <= MAX_EXTRACT_SPAN
 
 
 def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
@@ -891,12 +905,11 @@ def plan_grid_extract_ranges(coord_x, coord_y, grid_size: int,
         return n_chunks, s_pad, qb0, rel, k_span
 
     if wc is None:
-        # wc=1 always satisfies the span bound (each tile is its own
-        # chunk → rel ≡ 0, k_span = 1), so arbitrarily sparse plans —
-        # blocks ≫ subgrids, e.g. S=24500 on a 16384² grid — stay on
-        # the range kernel (per-tile static windows) instead of the
-        # blocked XLA gather fallback
-        for wc in (64, 32, 16, 8, 4, 2, 1):
+        # the ladder ends at wc=1, so arbitrarily sparse plans — blocks
+        # ≫ subgrids, e.g. S=24500 on a 16384² grid — stay on the range
+        # kernel (per-tile static windows) instead of the blocked XLA
+        # gather fallback
+        for wc in EXTRACT_WC_LADDER:
             n_chunks, s_pad, qb0, rel, k_span = span_for(wc)
             if k_span <= MAX_EXTRACT_SPAN:
                 break

@@ -85,6 +85,19 @@ def test_chunk_consumers_cover_all_rows(small_params, small_obs,
     assert covered == set(range(s))
 
 
+def test_chunk_consumers_single_chunk_ignores_align(small_params, small_obs,
+                                                    monkeypatch):
+    """align only constrains chunk BOUNDARIES; with S ≤ MAX_CHUNK there is
+    one unpadded chunk and an align that does not divide MAX_CHUNK (e.g.
+    the plan's wc=64 against IDG_MAX_CHUNK=1000) must not raise."""
+    monkeypatch.setattr(deg_mod, "MAX_CHUNK", 1000)
+    consumers, bounds, _ = staged_degridder_chunk_consumers(
+        small_params, small_obs, "pallas_v4", w_rank=2, align=64
+    )
+    assert len(consumers) == 1
+    assert bounds == [(0, small_params.nr_subgrids)]
+
+
 def test_sliced_extraction_matches_full(small_params, small_obs):
     params = small_params
     g, n = params.grid_size, params.subgrid_size
