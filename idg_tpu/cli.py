@@ -702,9 +702,12 @@ def cmd_scaling(args) -> int:
     is speedup/n_dev relative to the smallest measured mesh (100% =
     linear speedup at fixed total work).
 
-    Workloads: gridder / degridder (subgrid-batch DP, no collectives) and
+    Workloads: gridder / degridder (subgrid-batch DP, no collectives),
     pipeline (gridder → subgrid FFT → grid reduction, replicated via staged
-    psum or row-sharded via psum_scatter with --grid-sharded). With
+    psum or row-sharded via psum_scatter with --grid-sharded), and
+    pipeline-degrid (grid → tile extract + FFT → degridder; --grid-sharded
+    keeps the grid row-sharded and all_gathers over ICI — the adjoint
+    collective of the gridder direction's psum_scatter). With
     --distributed, initializes jax.distributed first (multi-host run; every
     process executes the same command)."""
     import jax
@@ -738,7 +741,9 @@ def cmd_scaling(args) -> int:
     # guard-free internals — parallel/sharded.py module docstring).
     from .ops.api import _resolve
 
-    kernel_workload = "gridder" if args.workload == "pipeline" else args.workload
+    kernel_workload = {
+        "pipeline": "gridder", "pipeline-degrid": "degridder",
+    }.get(args.workload, args.workload)
     version, w_rank = _resolve(kernel_workload, args.version, params, obs, None)
     _, _, mvis = workload_costs(params)
     sizes = [int(s) for s in args.mesh_sizes.split(",")]
@@ -771,6 +776,37 @@ def cmd_scaling(args) -> int:
             spair = distribute_subgrid_pair(sub_pair, mesh, s_pad)
             fn = sharded_degridder(params, mesh, version, w_rank=w_rank)
             fargs = (sharded_sobs, spair)
+        elif args.workload == "pipeline-degrid":
+            import numpy as np
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from .parallel.sharded import (sharded_grid_to_degridder,
+                                           sharded_grid_to_degridder_gather)
+
+            sharded_sobs, _ = distribute_observation(params, sobs, mesh)
+            rng = np.random.default_rng(11)
+            gsz = params.grid_size
+            grid_host = tuple(
+                rng.normal(size=(params.nr_correlations, gsz, gsz))
+                .astype(np.float32) for _ in range(2)
+            )
+            if args.grid_sharded and gsz % n_dev == 0:
+                spec = P(None, mesh.axis_names[-1], None)
+                grid_pair = tuple(
+                    jax.device_put(v, NamedSharding(mesh, spec))
+                    for v in grid_host
+                )
+                fn = sharded_grid_to_degridder_gather(
+                    params, mesh, version, w_rank=w_rank)
+            else:
+                if args.grid_sharded:
+                    print(f"  (grid {gsz} not divisible by {n_dev} rows; "
+                          "using the replicated grid)")
+                grid_pair = jax.device_put(grid_host)
+                fn = sharded_grid_to_degridder(
+                    params, mesh, version, w_rank=w_rank)
+            fargs = (sharded_sobs, grid_pair)
         else:  # pipeline: gridder + FFT + grid reduction collective
             use_ranges = args.grid_method == "ranges" and not args.distributed
             if use_ranges:
@@ -883,7 +919,8 @@ def main(argv=None) -> int:
                             help="strong-scaling efficiency report "
                                  "(fixed global problem over mesh sizes)")
     p_scal.add_argument("--workload",
-                        choices=["gridder", "degridder", "pipeline"],
+                        choices=["gridder", "degridder", "pipeline",
+                                 "pipeline-degrid"],
                         default="gridder")
     p_scal.add_argument("--version", default="xla_v4")
     p_scal.add_argument("--mesh-sizes", default="1,2,4,8")

@@ -211,3 +211,22 @@ def test_cli_scaling_pipeline_ranges():
     )
     assert proc.returncode == 0, proc.stderr
     assert "MVis/s" in proc.stdout
+
+
+def test_cli_scaling_pipeline_degrid():
+    env = dict(
+        SMALL_ENV,
+        NR_TIMESLOTS="4",
+        NR_STATIONS="5",
+        NR_WINDOWS="2",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    for extra in ([], ["--grid-sharded"]):
+        proc = _run(
+            ["scaling", "--workload", "pipeline-degrid", "--version",
+             "xla_v2", "--mesh-sizes", "8"] + extra,
+            extra_env=env, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr
+        # a measured row, not just the header ("skipped" rows have no %)
+        assert "100.0%" in proc.stdout, proc.stdout
