@@ -106,6 +106,39 @@ def grid_stage_section(gate: float = 1e-4):
     verdict = "PASSED" if err < gate else "FAILED"
     rows.append(f"| grid-extract (to-subgrids) | {verdict} | {err:.2e} |")
     print(rows[-1], flush=True)
+
+    # streamed formulations (HBM-capacity paths) vs their fused twins —
+    # small stripes force chunk straddling and the wrap row
+    from idg_tpu.ops.grid import (grid_to_subgrids_ranges_streamed,
+                                  subgrids_to_grid_ranges_streamed)
+
+    import numpy as _np
+
+    b_add = jax.jit(lambda s: subgrids_to_grid_ranges(
+        s, cx, cy, g, True, plan=plan))(sub)
+    re_b, im_b = subgrids_to_grid_ranges_streamed(sub, cx, cy, g, True,
+                                                  plan=plan)
+    c = (_np.concatenate([_np.asarray(v) for v in re_b], axis=1),
+         _np.concatenate([_np.asarray(v) for v in im_b], axis=1))
+    scale = max(float(np.abs(np.asarray(b_add[0])).max()), 1e-30)
+    err = max(float(np.abs(np.asarray(b_add[i]) - c[i]).max())
+              for i in (0, 1)) / scale
+    verdict = "PASSED" if err < gate else "FAILED"
+    rows.append(f"| grid-add streamed (vs fused ranges) | {verdict} "
+                f"| {err:.2e} |")
+    print(rows[-1], flush=True)
+
+    b = jax.jit(lambda gr: grid_to_subgrids_ranges(
+        gr, cx, cy, n, True, plan=eplan))(grid_pair)
+    c = grid_to_subgrids_ranges_streamed(grid_pair, cx, cy, n, True,
+                                         plan=eplan, stripe_rows=5)
+    scale = max(float(np.abs(np.asarray(b[0])).max()), 1e-30)
+    err = max(float(np.abs(np.asarray(b[i]) - np.asarray(c[i])).max())
+              for i in (0, 1)) / scale
+    verdict = "PASSED" if err < gate else "FAILED"
+    rows.append(f"| grid-extract streamed (vs fused ranges) | {verdict} "
+                f"| {err:.2e} |")
+    print(rows[-1], flush=True)
     return rows
 
 
