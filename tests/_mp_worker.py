@@ -11,6 +11,11 @@ Usage: python _mp_worker.py <process_id> <num_processes> <port> <outdir>
 import os
 import sys
 
+# Run from any cwd and without an installed package: the repo root is one
+# level up from this file (python puts the script dir, not the repo, on
+# sys.path).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 pid = int(sys.argv[1])
 nproc = int(sys.argv[2])
 port = sys.argv[3]
