@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import inspect
 import math
+import os
 import warnings
 from functools import lru_cache, partial
 
@@ -301,20 +302,32 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         stage_jit = partial(
             stage_fn, canonical=canonical, with_vis=(workload == "gridder"),
         )
-        # Pin the staged arrays row-major: XLA otherwise hands some of them
-        # (po_x_col/po_y_col [S,N,1], uvw_rows [S,3,T]) to the kernel in an
-        # S-minor layout and re-inserts a relayout copy into EVERY timed
-        # launch (~2% of the gridder step in xplane traces). Pinning moves
-        # that copy into the one-time staging pass.
-        try:
-            # bind the static params via partial: eval_shape abstractifies
-            # every ARGUMENT, and IDGParams is not a pytree (passing it
-            # positionally raised TypeError and silently disabled this
-            # pinning for all of round 2/3 until reviewed)
-            stage_shardings = _rowmajor_formats(
-                jax.eval_shape(partial(stage_jit, params), sobs)
-            )
-        except Exception:
+        # Staged-input layout policy (IDG_STAGE_LAYOUT env):
+        #   match    (default) stage unpinned, then device_put the staged
+        #            arrays into the RUN executable's own preferred input
+        #            layouts (compiled.input_formats) and dispatch the AOT
+        #            executable directly — zero per-launch relayout copies
+        #            by construction, no layout guessing.
+        #   rowmajor the earlier forced-row-major staging. On hardware this
+        #            OOMed fullsize gridder runs the moment the dead
+        #            eval_shape call was fixed: forcing row-major on
+        #            [S,N,1]-shaped columns pads the lane dim 1→128 (128×
+        #            HBM inflation) and mismatching the run executable's
+        #            preferred layouts re-inserts multi-GB relayout copies
+        #            into every queued launch. Kept only for A/Bs.
+        #   off      stage unpinned, dispatch through the normal jit.
+        stage_mode = os.environ.get("IDG_STAGE_LAYOUT", "match").lower()
+        if stage_mode == "rowmajor":
+            try:
+                # bind the static params via partial: eval_shape
+                # abstractifies every ARGUMENT, and IDGParams is not a
+                # pytree (passing it positionally raises TypeError)
+                stage_shardings = _rowmajor_formats(
+                    jax.eval_shape(partial(stage_jit, params), sobs)
+                )
+            except Exception:
+                stage_shardings = None
+        else:
             stage_shardings = None
         if stage_shardings is not None:
             stg = jax.jit(
@@ -342,6 +355,14 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
         if run_jit is None:
             run_jit = jax.jit(run_fn, static_argnums=0)
         if workload == "gridder":
+            if stage_mode == "match":
+                try:
+                    compiled = run_jit.lower(params, stg).compile()
+                    stg = jax.device_put(stg, compiled.input_formats[0][0])
+                    jax.block_until_ready(jax.tree_util.tree_leaves(stg))
+                    return (lambda p, st: compiled(st)), (params, stg)
+                except Exception:
+                    pass  # platform without AOT/layout support: plain jit
             return run_jit, (params, stg)
         s = stg.uvw.shape[0]
         if s <= MAX_CHUNK:
