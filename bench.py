@@ -9,30 +9,85 @@ gridder_reference on a Tesla V100 at default perf parameters, 42.93 MVis/s
 Env knobs: BENCH_KERNEL (registry version; default = fastest available),
 NR_ITERATIONS / NR_WARM_UP_RUNS, and the reference's problem-size vars
 (GRID_SIZE, NR_STATIONS, ...).
+
+Hardening (round 4): the round-3 driver run failed with INVALID_ARGUMENT on
+every kernel because /tmp/jax_cache_idg held compile-cache entries from a
+pre-reboot runtime.  The cache dir is now keyed by jax version + backend so a
+runtime change never reuses stale entries, a tiny-op preflight reports TPU
+health before any kernel work, and each candidate retries once with the
+persistent cache disabled before falling down the ladder.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-
-# Persistent compile cache: first compiles on the tunneled TPU platform take
-# minutes; cache them across processes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
 
 V100_GRIDDER_REFERENCE_MVIS_S = 42.93
 
 
+def _cache_dir() -> str:
+    """Persistent compile-cache dir, keyed by runtime version.
+
+    First compiles on the tunneled TPU platform take minutes; cache them
+    across processes — but never across runtime upgrades/reboots with a
+    different jax/libtpu, which deserialize to backend INVALID_ARGUMENT.
+    """
+    try:
+        import jax
+
+        tag = jax.__version__.replace(".", "_")
+    except Exception:
+        tag = "unknown"
+    return f"/tmp/jax_cache_idg_{tag}"
+
+
+def _preflight() -> None:
+    """Run a tiny op end-to-end; fail loudly with a diagnosis if the TPU
+    backend itself is unhealthy (dead tunnel, another process holding the
+    chip) so a kernel failure later can be attributed to the kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        devs = jax.devices()
+        x = jnp.arange(8.0)
+        float(jnp.sum(x * x))
+    except Exception as exc:
+        print(
+            "bench: TPU preflight FAILED — backend unhealthy before any "
+            f"kernel ran ({type(exc).__name__}: {exc}). Likely a dead "
+            "tunnel or another process holding the chip.",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    print(f"bench: preflight ok on {devs[0].device_kind} x{len(devs)}",
+          file=sys.stderr)
+
+
+def _run_candidate(candidate: str, params, obs, harness, w_rank):
+    from idg_tpu.ops.api import staged_runner
+    from idg_tpu.utils.timing import time_kernel
+
+    fn, args = staged_runner(
+        "gridder", candidate, params, obs,
+        w_rank=int(w_rank) if w_rank else None,
+    )
+    return time_kernel(fn, *args, harness=harness)
+
+
 def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
+
     from idg_tpu.cli import _honor_platform_env
 
     _honor_platform_env()
+    _preflight()
     from idg_tpu import HarnessConfig, IDGParams, make_perf_observation
-    from idg_tpu.ops.api import staged_runner
     from idg_tpu.ops.registry import list_kernels
     from idg_tpu.utils.costs import workload_costs
-    from idg_tpu.utils.timing import time_kernel
 
     params = IDGParams.from_env()
     harness = HarnessConfig(
@@ -56,15 +111,37 @@ def main() -> None:
     timing = version = None
     for candidate in candidates:
         try:
-            fn, args = staged_runner(
-                "gridder", candidate, params, obs,
-                w_rank=int(w_rank) if w_rank else None,
-            )
-            timing = time_kernel(fn, *args, harness=harness)
+            timing = _run_candidate(candidate, params, obs, harness, w_rank)
             version = candidate
             break
-        except Exception as exc:  # fall down the ladder on compile failure
-            print(f"bench: {candidate} failed ({exc}); falling back",
+        except Exception as exc:
+            print(f"bench: {candidate} failed ({exc})", file=sys.stderr)
+            if os.environ.get("BENCH_SUBPROCESS"):
+                raise SystemExit(1)  # no recursive retries
+            # Backend errors are often a poisoned persistent compile cache
+            # (the round-3 failure mode): retry once in a subprocess with
+            # the cache disabled before falling down the ladder.
+            env = dict(os.environ)
+            env.pop("JAX_COMPILATION_CACHE_DIR", None)
+            env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+            env["BENCH_KERNEL"] = candidate
+            env["BENCH_SUBPROCESS"] = "1"
+            print(f"bench: retrying {candidate} with compile cache disabled",
+                  file=sys.stderr)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, timeout=1800,
+                )
+            except subprocess.TimeoutExpired:
+                print(f"bench: {candidate} cache-free retry timed out; "
+                      "falling back", file=sys.stderr)
+                continue
+            if out.returncode == 0 and out.stdout.strip():
+                sys.stdout.write(out.stdout.strip().splitlines()[-1] + "\n")
+                return
+            tail = (out.stderr or "").strip().splitlines()[-3:]
+            print("bench: cache-free retry failed: " + " | ".join(tail),
                   file=sys.stderr)
     if timing is None:
         raise SystemExit("bench: no gridder kernel ran")
