@@ -11,11 +11,13 @@ NR_ITERATIONS / NR_WARM_UP_RUNS, and the reference's problem-size vars
 (GRID_SIZE, NR_STATIONS, ...).
 
 Hardening (round 4): the round-3 driver run failed with INVALID_ARGUMENT on
-every kernel because /tmp/jax_cache_idg held compile-cache entries from a
-pre-reboot runtime.  The cache dir is now keyed by jax version + backend so a
-runtime change never reuses stale entries, a tiny-op preflight reports TPU
-health before any kernel work, and each candidate retries once with the
-persistent cache disabled before falling down the ladder.
+every kernel because the persistent compile cache is broken on the tunneled
+TPU platform — an executable serialized by one process deserializes to a
+backend error in the next (measured: write-then-reread of the same kernel by
+the same jax version fails). setup_compilation_cache now refuses to enable
+the cache on non-CPU backends; on top of that this script preflights the TPU
+with a tiny op and retries each candidate once in a clean subprocess with
+caching force-disabled before falling down the kernel ladder.
 """
 
 from __future__ import annotations
@@ -26,22 +28,6 @@ import subprocess
 import sys
 
 V100_GRIDDER_REFERENCE_MVIS_S = 42.93
-
-
-def _cache_dir() -> str:
-    """Persistent compile-cache dir, keyed by runtime version.
-
-    First compiles on the tunneled TPU platform take minutes; cache them
-    across processes — but never across runtime upgrades/reboots with a
-    different jax/libtpu, which deserialize to backend INVALID_ARGUMENT.
-    """
-    try:
-        import jax
-
-        tag = jax.__version__.replace(".", "_")
-    except Exception:
-        tag = "unknown"
-    return f"/tmp/jax_cache_idg_{tag}"
 
 
 def _preflight() -> None:
@@ -79,8 +65,6 @@ def _run_candidate(candidate: str, params, obs, harness, w_rank):
 
 
 def main() -> None:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
-
     from idg_tpu.cli import _honor_platform_env
 
     _honor_platform_env()
@@ -118,12 +102,12 @@ def main() -> None:
             print(f"bench: {candidate} failed ({exc})", file=sys.stderr)
             if os.environ.get("BENCH_SUBPROCESS"):
                 raise SystemExit(1)  # no recursive retries
-            # Backend errors are often a poisoned persistent compile cache
-            # (the round-3 failure mode): retry once in a subprocess with
-            # the cache disabled before falling down the ladder.
+            # Retry once in a clean subprocess with caching force-disabled
+            # (covers a poisoned cache — the round-3 failure mode — and
+            # transient remote-compile-helper errors).
             env = dict(os.environ)
             env.pop("JAX_COMPILATION_CACHE_DIR", None)
-            env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+            env["IDG_NO_COMPILE_CACHE"] = "1"
             env["BENCH_KERNEL"] = candidate
             env["BENCH_SUBPROCESS"] = "1"
             print(f"bench: retrying {candidate} with compile cache disabled",

@@ -21,7 +21,6 @@ import os
 import sys
 
 # First TPU compiles on this platform take minutes; cache across processes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
 
 CSV_EXT = "-tpu.csv"
 

@@ -22,19 +22,45 @@ START_FREQUENCY = 150.0e6
 FREQUENCY_INCREMENT = 0.7e6
 
 
+def default_cache_dir() -> str:
+    """Compile-cache dir keyed by the jax version: entries serialized by a
+    different runtime (e.g. across a machine reboot/upgrade) deserialize to
+    TPU-backend INVALID_ARGUMENT — the round-3 bench failure mode."""
+    try:
+        import jax
+
+        tag = jax.__version__.replace(".", "_")
+    except Exception:
+        tag = "unknown"
+    return f"/tmp/jax_cache_idg_{tag}"
+
+
 def setup_compilation_cache(path: str | None = None) -> None:
-    """Enable JAX's persistent compilation cache.
+    """Enable JAX's persistent compilation cache — CPU backend only.
 
     On this jax version the JAX_COMPILATION_CACHE_DIR env var alone does
     NOT take effect (jax.config shows None); the config key must be set
-    explicitly. First compiles through the tunneled TPU platform take
-    minutes, so every entry point calls this."""
+    explicitly.
+
+    On the tunneled TPU platform the persistent cache is BROKEN: an
+    executable serialized by one process deserializes to TPU-backend
+    INVALID_ARGUMENT in the next (measured round 4: write-then-reread of
+    the same kernel by the same jax version fails; this is what killed
+    every kernel in the round-3 driver bench). So the cache is only
+    enabled on CPU; IDG_FORCE_COMPILE_CACHE=1 overrides for cache
+    experiments."""
     import jax
 
     if os.environ.get("IDG_NO_COMPILE_CACHE"):
         return
+    if not os.environ.get("IDG_FORCE_COMPILE_CACHE"):
+        try:
+            if jax.default_backend() != "cpu":
+                return
+        except Exception:
+            return
     path = path or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg"
+        "JAX_COMPILATION_CACHE_DIR", default_cache_dir()
     )
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -889,7 +889,8 @@ def _kernel_polstack_batch(aidx, st1, st2,
                            *rest,
                            V, N, T, C, w_rank, precisions, batch, ablate="",
                            cfold=False, qsplit=False, hswap=False,
-                           sstore=False):
+                           sstore=False, dbuf=False, swpipe=False,
+                           kmerge=0):
     """v6's body unrolled over `batch` subgrids per grid step (see
     gridder pallas_v6 for the amortization rationale).
 
@@ -930,7 +931,45 @@ def _kernel_polstack_batch(aidx, st1, st2,
     scratch ([[Φx_re, −Φx_im], [Φx_im, Φx_re]]) instead of two [N, V]
     Φx planes, so the big f32 rhs concat is never materialized; the
     cfold rank scale reads Φx back as quadrant slices. Same values in
-    the same positions → bit-identical."""
+    the same positions → bit-identical.
+
+    `dbuf=True` (round-4): the Φ scratch planes get a leading buffer
+    axis indexed b%2, so subgrid b+1's phasor-generation stores no
+    longer alias the planes subgrid b's stage-2 is still reading —
+    without it the unrolled chain serializes as
+    dot(b)→stage2(b)→Φgen(b+1) and the per-subgrid VPU work (Φ
+    recurrence + RHS assembly + stage-2, ~1.1 µs) sits exposed next to
+    the ~1.9 µs of MXU passes instead of hiding under them. Same
+    stores, same values → bit-identical. Measured flat on its own
+    (probe17: Mosaic does not reorder across the unrolled bodies) —
+    it exists as the buffer substrate for `swpipe`.
+
+    `swpipe=True` (round-4): explicit depth-2 software pipeline —
+    phase A(b) = prologue + Φ planes + RHS assembly + the MXU rank
+    dots; phase B(b) = the stage-2 Φy* VPU contraction. The schedule
+    A(0), A(1), B(0), A(2), B(1), … puts the NEXT subgrid's VPU work
+    between a subgrid's dot issue and its consumption in program
+    order, which is what Mosaic's in-order scheduler needs to run the
+    Φ recurrence under the MXU passes. Requires dbuf (B(b) reads slot
+    b%2 after A(b+1) wrote slot (b+1)%2). Supports the shipping
+    schedule only (cfold or rank-1, default RHS assembly); the runner
+    clears it otherwise. Bit-identical: same ops, reordered.
+
+    `kmerge` (round-4, swpipe path only): fuse the per-rank MXU passes
+    into fewer dots by packing the contraction axis — the "3x2k" pass
+    pair d([lh|ll],[rh;rl]) + d([lh|ll],[rl;rh]) and every rank-folded
+    correction are K-concatenated so the MXU's internal f32
+    accumulator replaces the per-pass [4N,2V] f32 adds (and the
+    rha/rhb double concat collapses to one). kmerge=1: ONE dot
+    (K=10N=320 at the shipping rank-2 policy); kmerge=2: one K=8N dot
+    for the rank-0 signal + one aligned K=2N dot per correction;
+    kmerge=3: like 1 but drops the second-order ll·rl split product
+    (~2⁻¹⁶ relative) from each "3x2k" rank — the classic bf16 3-product
+    scheme, K=8N=256 at the shipping policy (the 4th product was only
+    ever included because the pass-pair packing made it free).
+    NOT bit-identical (same products, MXU-internal accumulation
+    grouping; kmerge=3 drops one) — gated by the 1e-5 comparator like
+    every rung."""
     at_refs = rest[:4 * batch]
     if sstore:
         out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = rest[4 * batch:]
@@ -945,7 +984,198 @@ def _kernel_polstack_batch(aidx, st1, st2,
     m_col = mcol_ref[...]
     n_yx = n_ref[...]
 
+    if swpipe:
+        def _phase_a(b, sb):
+            sub = [(sub_re_ref[b, p], sub_im_ref[b, p])
+                   for p in range(P_POLS)]
+            a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
+                  for p in range(P_POLS)]
+            a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
+                  for p in range(P_POLS)]
+            pix = _prologue(sub, sph, a1, a2)
+            uvw = uvwr_ref[b]
+            u_row = uvw[0:1, :]
+            v_row = uvw[1:2, :]
+            py = poyc_ref[b] - m_col * (v_row * k0)
+            px = poxc_ref[b] - m_col * (u_row * k0)
+            dpy = -(m_col * (v_row * dk))
+            dpx = -(m_col * (u_row * dk))
+            cy_re, cy_im = jnp.cos(py), jnp.sin(py)
+            cx_re, cx_im = jnp.cos(px), jnp.sin(px)
+            dy_re, dy_im = jnp.cos(dpy), jnp.sin(dpy)
+            dx_re, dx_im = jnp.cos(dpx), jnp.sin(dpx)
+            for c in range(C):
+                if c and c % 16 == 0:
+                    kc = k0 + c * dk
+                    pyc = poyc_ref[b] - m_col * (v_row * kc)
+                    pxc = poxc_ref[b] - m_col * (u_row * kc)
+                    cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
+                    cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
+                lo = c * T
+                phyr_s[sb, :, lo:lo + T] = cy_re
+                phyi_s[sb, :, lo:lo + T] = cy_im
+                phxr_s[sb, :, lo:lo + T] = cx_re
+                phxi_s[sb, :, lo:lo + T] = cx_im
+                if c + 1 < C:
+                    cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
+                    cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
+            phx_re = phxr_s[sb]
+            phx_im = phxi_s[sb]
+            if kmerge:
+                def d(a, bm):
+                    return jax.lax.dot_general(
+                        a, bm, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                mu = mur_ref[b]
+                cr = jnp.ones_like(mu)
+                ci = jnp.zeros_like(mu)
+                npow = jnp.ones_like(n_yx)
+                lhs_parts, rhs_parts, prod_sep = [], [], []
+                for r in range(w_rank):
+                    if r:
+                        cr, ci = ci * mu / r, -cr * mu / r
+                        npow = npow * n_yx
+                    lhs = jnp.concatenate(
+                        [
+                            jnp.concatenate([p[0] * npow, p[1] * npow],
+                                            axis=1)
+                            for p in pix
+                        ],
+                        axis=0,
+                    )
+                    lh = lhs.astype(jnp.bfloat16)
+                    mode = precisions[min(r, len(precisions) - 1)]
+                    # rank-folded conj(Φx)·c_r packing (c_0 = 1)
+                    xre = phx_re if r == 0 else phx_re * cr + phx_im * ci
+                    xim = -phx_im if r == 0 else phx_re * ci - phx_im * cr
+                    rhs_r = jnp.concatenate(
+                        [
+                            jnp.concatenate([xre, xim], axis=1),
+                            jnp.concatenate([-xim, xre], axis=1),
+                        ],
+                        axis=0,
+                    )
+                    rh_r = rhs_r.astype(jnp.bfloat16)
+                    if mode == "default":
+                        lp, rp = [lh], [rh_r]
+                    else:
+                        ll = (lhs - lh.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        rl_r = (rhs_r - rh_r.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        if kmerge == 3:
+                            lp, rp = [lh, lh, ll], [rh_r, rl_r, rh_r]
+                        else:
+                            lp, rp = ([lh, ll, lh, ll],
+                                      [rh_r, rl_r, rl_r, rh_r])
+                    if kmerge == 2 and r:
+                        prod_sep.append(
+                            d(jnp.concatenate(lp, axis=1),
+                              jnp.concatenate(rp, axis=0))
+                        )
+                    else:
+                        lhs_parts += lp
+                        rhs_parts += rp
+                prod_acc = d(
+                    jnp.concatenate(lhs_parts, axis=1),
+                    jnp.concatenate(rhs_parts, axis=0),
+                )
+                for pr in prod_sep:
+                    prod_acc = prod_acc + pr
+                return prod_acc
+            rhs = jnp.concatenate(
+                [
+                    jnp.concatenate([phx_re, -phx_im], axis=1),
+                    jnp.concatenate([phx_im, phx_re], axis=1),
+                ],
+                axis=0,
+            )
+            rh = rhs.astype(jnp.bfloat16)
+            rl = (rhs - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+            rha = jnp.concatenate([rh, rl], axis=0)
+            rhb = jnp.concatenate([rl, rh], axis=0)
+            mu = mur_ref[b]
+            cr = jnp.ones_like(mu)
+            ci = jnp.zeros_like(mu)
+            npow = jnp.ones_like(n_yx)
+            prod_acc = None
+            for r in range(w_rank):
+                if r:
+                    cr, ci = ci * mu / r, -cr * mu / r
+                    npow = npow * n_yx
+                lhs = jnp.concatenate(
+                    [
+                        jnp.concatenate([p[0] * npow, p[1] * npow], axis=1)
+                        for p in pix
+                    ],
+                    axis=0,
+                )
+                mode = precisions[min(r, len(precisions) - 1)]
+                if r == 0:
+                    prod = _polstack_dot(lhs, rha, rhb, rh, mode)
+                else:
+                    # cfold: the rank-r coefficient rides the RHS (see the
+                    # `cfold` docstring; identical assembly to the main loop)
+                    xre = phx_re * cr + phx_im * ci
+                    xim = phx_re * ci - phx_im * cr
+                    if mode == "default":
+                        rh_r = jnp.concatenate(
+                            [
+                                jnp.concatenate([xre, xim], axis=1),
+                                jnp.concatenate([-xim, xre], axis=1),
+                            ],
+                            axis=0,
+                        ).astype(jnp.bfloat16)
+                        prod = _polstack_dot(lhs, None, None, rh_r, mode)
+                    else:
+                        rhs_r = jnp.concatenate(
+                            [
+                                jnp.concatenate([xre, xim], axis=1),
+                                jnp.concatenate([-xim, xre], axis=1),
+                            ],
+                            axis=0,
+                        )
+                        rh_r = rhs_r.astype(jnp.bfloat16)
+                        rl_r = (rhs_r - rh_r.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+                        prod = _polstack_dot(
+                            lhs, jnp.concatenate([rh_r, rl_r], axis=0),
+                            jnp.concatenate([rl_r, rh_r], axis=0),
+                            rh_r, mode,
+                        )
+                prod_acc = prod if prod_acc is None else prod_acc + prod
+            return prod_acc
+
+        def _phase_b(b, sb, prod_acc):
+            phy_re = phyr_s[sb]
+            phy_im = phyi_s[sb]
+            d_re = prod_acc[:, 0:V]
+            d_im = prod_acc[:, V:2 * V]
+            rows_re = []
+            rows_im = []
+            for p in range(P_POLS):
+                dr = d_re[p * N:(p + 1) * N]
+                di = d_im[p * N:(p + 1) * N]
+                sr = dr * phy_re + di * phy_im
+                si = di * phy_re - dr * phy_im
+                rows_re.append(jnp.sum(sr, axis=0, keepdims=True))
+                rows_im.append(jnp.sum(si, axis=0, keepdims=True))
+            out_re_ref[b] = jnp.concatenate(rows_re, axis=0)
+            out_im_ref[b] = jnp.concatenate(rows_im, axis=0)
+
+        prev = None
+        for b in range(batch):
+            pa = _phase_a(b, b % 2)
+            if prev is not None:
+                _phase_b(*prev)
+            prev = (b, b % 2, pa)
+        _phase_b(*prev)
+        return
+
     for b in range(batch):
+        sb = (b % 2) if dbuf else 0     # scratch buffer slot (see `dbuf`)
         sub = [(sub_re_ref[b, p], sub_im_ref[b, p]) for p in range(P_POLS)]
         a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
               for p in range(P_POLS)]
@@ -974,27 +1204,27 @@ def _kernel_polstack_batch(aidx, st1, st2,
                 cy_re, cy_im = jnp.cos(pyc), jnp.sin(pyc)
                 cx_re, cx_im = jnp.cos(pxc), jnp.sin(pxc)
             lo = c * T
-            phyr_s[:, lo:lo + T] = cy_re
-            phyi_s[:, lo:lo + T] = cy_im
+            phyr_s[sb, :, lo:lo + T] = cy_re
+            phyi_s[sb, :, lo:lo + T] = cy_im
             if sstore:
-                rhs_s[0:N, lo:lo + T] = cx_re
-                rhs_s[0:N, V + lo:V + lo + T] = -cx_im
-                rhs_s[N:2 * N, lo:lo + T] = cx_im
-                rhs_s[N:2 * N, V + lo:V + lo + T] = cx_re
+                rhs_s[sb, 0:N, lo:lo + T] = cx_re
+                rhs_s[sb, 0:N, V + lo:V + lo + T] = -cx_im
+                rhs_s[sb, N:2 * N, lo:lo + T] = cx_im
+                rhs_s[sb, N:2 * N, V + lo:V + lo + T] = cx_re
             else:
-                phxr_s[:, lo:lo + T] = cx_re
-                phxi_s[:, lo:lo + T] = cx_im
+                phxr_s[sb, :, lo:lo + T] = cx_re
+                phxi_s[sb, :, lo:lo + T] = cx_im
             if c + 1 < C and ablate != "no_recur":
                 cy_re, cy_im = kcmul(cy_re, cy_im, dy_re, dy_im)
                 cx_re, cx_im = kcmul(cx_re, cx_im, dx_re, dx_im)
-        phy_re = phyr_s[...]
-        phy_im = phyi_s[...]
+        phy_re = phyr_s[sb]
+        phy_im = phyi_s[sb]
         if sstore:
-            phx_re = rhs_s[0:N, 0:V]
-            phx_im = rhs_s[N:2 * N, 0:V]
+            phx_re = rhs_s[sb, 0:N, 0:V]
+            phx_im = rhs_s[sb, N:2 * N, 0:V]
         else:
-            phx_re = phxr_s[...]
-            phx_im = phxi_s[...]
+            phx_re = phxr_s[sb]
+            phx_im = phxi_s[sb]
 
         if qsplit:
             xh_re = phx_re.astype(jnp.bfloat16)
@@ -1015,7 +1245,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
                 return _polstack_dot_q(lhs_, rha, mode_)
         else:
             if sstore:
-                rhs = rhs_s[...]
+                rhs = rhs_s[sb]
             else:
                 rhs = jnp.concatenate(
                     [
@@ -1144,8 +1374,19 @@ def _kernel_polstack_batch(aidx, st1, st2,
 def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
                                   interpret, batch: int = 4, ablate: str = "",
                                   cfold: bool = False, qsplit: bool = False,
-                                  hswap: bool = False, sstore: bool = False):
+                                  hswap: bool = False, sstore: bool = False,
+                                  dbuf: bool = False, swpipe: bool = False,
+                                  kmerge: int = 0):
     import dataclasses as _dc
+
+    if kmerge:
+        swpipe = True       # kmerge lives on the pipelined phase-A path
+    if swpipe and (ablate or qsplit or hswap or sstore
+                   or not (cfold or w_rank == 1)):
+        swpipe = False      # the pipelined schedule covers the shipping path
+        kmerge = 0
+    if swpipe:
+        dbuf = True         # phase B(b) reads slot b%2 after A(b+1) wrote ~b%2
 
     from .common import _PER_SUBGRID_FIELDS
 
@@ -1173,7 +1414,8 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=B, ablate=ablate, cfold=cfold,
-        qsplit=qsplit, hswap=hswap, sstore=sstore,
+        qsplit=qsplit, hswap=hswap, sstore=sstore, dbuf=dbuf, swpipe=swpipe,
+        kmerge=kmerge,
     )
 
     def at_spec(sel, b):
@@ -1211,9 +1453,10 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
             pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((N, V), jnp.float32)] * 2
-            + ([pltpu.VMEM((2 * N, 2 * V), jnp.float32)] if sstore
-               else [pltpu.VMEM((N, V), jnp.float32)] * 2)
+            [pltpu.VMEM((2 if dbuf else 1, N, V), jnp.float32)] * 2
+            + ([pltpu.VMEM((2 if dbuf else 1, 2 * N, 2 * V), jnp.float32)]
+               if sstore
+               else [pltpu.VMEM((2 if dbuf else 1, N, V), jnp.float32)] * 2)
         ),
     )
     out_shape = (
@@ -1239,29 +1482,34 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
 
 @register(
     "degridder", "pallas_v7",
-    "v6 + 8-subgrid grid steps + rank-folded RHS (one Φy* contraction per pol)",
+    "v6 + 8-subgrid steps + all ranks' 3-product splits K-merged into ONE "
+    "MXU dot (one Φy* contraction per pol)",
     family="pallas", uniform_channels=True, fallback="pallas_v4",
 )
 def degridder_pallas_v7(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, w_rank: int = 2,
-                        canonical=False, batch: int = 8, cfold: bool = True):
+                        canonical=False, batch: int = 8, cfold: bool = True,
+                        swpipe: bool = False, kmerge: int = 3):
     # batch=8 + cfold won the round-3 hardware A/B (res/ probe: 3.10 vs
     # 3.15 (b4) vs 3.66 (b16) µs/subgrid; non-cfold round-2 was 3.7).
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
         w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
+        swpipe=swpipe, kmerge=kmerge,
     )
 
 
 def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                w_rank: int = 2, batch: int = 8,
                                cfold: bool = True, qsplit: bool = False,
-                               hswap: bool = False, sstore: bool = False):
+                               hswap: bool = False, sstore: bool = False,
+                               dbuf: bool = False, swpipe: bool = False,
+                               kmerge: int = 3):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
-        qsplit, hswap, sstore,
+        qsplit, hswap, sstore, dbuf, swpipe, kmerge,
     )
 
 
@@ -1273,7 +1521,7 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
 )
 def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
                         subgrids: Pair, interpret=None, canonical=False,
-                        batch: int = 8):
+                        batch: int = 8, swpipe: bool = False, kmerge: int = 3):
     """v7 with the w·n Taylor correction dropped (w_rank=1): exact for
     w ≡ 0 observations (all in-tree generators); the general-w kernels are
     v3–v7. See gridder pallas_v7 for the rationale. batch=8 per the
@@ -1281,16 +1529,17 @@ def degridder_pallas_v8(params: IDGParams, sobs: SplitObservation,
     return _chunked(
         _degridder_polstack_batch_run, params,
         stage(params, sobs, canonical), subgrids,
-        1, ("3x2k",), interpret, batch,
+        1, ("3x2k",), interpret, batch, swpipe=swpipe, kmerge=kmerge,
     )
 
 
 def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
                                batch: int = 8, w_rank: int = 1,
                                qsplit: bool = False, hswap: bool = False,
-                               sstore: bool = False):
+                               sstore: bool = False, dbuf: bool = False,
+                               swpipe: bool = False, kmerge: int = 3):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, ("3x2k",), interpret, batch, qsplit=qsplit, hswap=hswap,
-        sstore=sstore,
+        sstore=sstore, dbuf=dbuf, swpipe=swpipe, kmerge=kmerge,
     )

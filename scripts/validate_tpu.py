@@ -14,7 +14,6 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_idg")
 
 def _cache():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

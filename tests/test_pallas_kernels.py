@@ -57,8 +57,10 @@ def test_degridder_schedule_bit_identical(alt, small_params, small_obs,
     (quadrant bf16 splits + lhs-half-swap), hswap (half-swap with the
     standard RHS assembly), sstore (channel loop stores straight into the
     rhs quadrants) all compute the same split products in the same f32
-    accumulation grouping — results must match the default path exactly,
-    for both the general-w (v7, cfold) and w-free (v8) schedules."""
+    accumulation grouping — results must match the un-merged path exactly,
+    for both the general-w (v7, cfold) and w-free (v8) schedules.
+    (kmerge=0 pins the pre-round-4 schedule: the kmerge default regroups
+    the MXU accumulation and is gated by the comparator instead.)"""
     import numpy as np
 
     from idg_tpu.ops.pallas.common import stage
@@ -74,10 +76,72 @@ def test_degridder_schedule_bit_identical(alt, small_params, small_obs,
         (degridder_pallas_v7_staged, dict(w_rank=2)),
         (degridder_pallas_v8_staged, dict(w_rank=1)),
     ]:
-        base = fn(small_params, stg, spair, interpret=True, **kw)
+        base = fn(small_params, stg, spair, interpret=True, kmerge=0, **kw)
+        fast = fn(small_params, stg, spair, interpret=True, kmerge=0,
+                  **alt, **kw)
+        np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(fast[0]))
+        np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(fast[1]))
+
+
+@pytest.mark.parametrize("alt", [
+    dict(kmerge=0, dbuf=True), dict(kmerge=0, swpipe=True),
+])
+def test_degridder_reorder_schedules_bit_identical(alt, small_params,
+                                                   small_obs,
+                                                   golden_degridder):
+    """dbuf (scratch double-buffering) and swpipe (depth-2 software
+    pipeline) reorder the same ops — bit-identical to the un-merged path."""
+    import numpy as np
+
+    from idg_tpu.ops.pallas.common import stage
+    from idg_tpu.ops.pallas.degridder import (
+        degridder_pallas_v7_staged, degridder_pallas_v8_staged,
+    )
+    from idg_tpu.types import split_complex, split_observation
+
+    sub, _ = golden_degridder
+    stg = stage(small_params, split_observation(small_obs))
+    spair = split_complex(sub)
+    for fn, kw in [
+        (degridder_pallas_v7_staged, dict(w_rank=2)),
+        (degridder_pallas_v8_staged, dict(w_rank=1)),
+    ]:
+        base = fn(small_params, stg, spair, interpret=True, kmerge=0, **kw)
         fast = fn(small_params, stg, spair, interpret=True, **alt, **kw)
         np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(fast[0]))
         np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(fast[1]))
+
+
+@pytest.mark.parametrize("kmerge", [1, 2, 3])
+def test_degridder_kmerge_within_gate(kmerge, small_params, small_obs,
+                                      golden_degridder):
+    """The K-merged MXU schedules (round 4) regroup the split-product
+    accumulation (kmerge=3 drops the second-order ll·rl term) — not
+    bit-identical, but must stay inside the 1e-5 comparator gate vs the
+    golden degridder, like every rung."""
+    import numpy as np
+
+    from idg_tpu.ops.pallas.common import stage
+    from idg_tpu.ops.pallas.degridder import (
+        degridder_pallas_v7_staged, degridder_pallas_v8_staged,
+    )
+    from idg_tpu.types import combine_complex, split_complex, split_observation
+    from idg_tpu.utils.compare import compare_visibilities
+
+    sub, golden = golden_degridder
+    stg = stage(small_params, split_observation(small_obs))
+    spair = split_complex(sub)
+    for fn, kw in [
+        (degridder_pallas_v7_staged, dict(w_rank=2)),
+        (degridder_pallas_v8_staged, dict(w_rank=1)),
+    ]:
+        re, im = fn(small_params, stg, spair, interpret=True, kmerge=kmerge,
+                    **kw)
+        dev = combine_complex(np.asarray(re), np.asarray(im))
+        result = compare_visibilities(golden, dev, verbose=False)
+        assert result.passed, (
+            f"{fn.__name__} kmerge={kmerge}: error {result.mean_error}"
+        )
 
 
 def test_gridder_pallas_w_rank_matters_for_nonzero_w(small_params, small_obs):
