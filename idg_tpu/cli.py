@@ -312,8 +312,14 @@ def cmd_grid(args) -> int:
                 nbp = plan.slots.shape[0]
                 d = params.nr_correlations * n * n
                 gather_steps = nbp * max(-(-plan.cap // 8), 1)
+                out_gb_pre = 2 * params.nr_correlations * g * g * 4 / 1e9
+                # ranges for dense-ish plans, and ALWAYS for HBM-capacity
+                # grids: the range kernel's empty-block fast path makes
+                # sparse plans cheap, and the streamed-scatter alternative
+                # measured 1126 ms vs 607 (pre-fast-path) at 16384²
                 if (g % n == 0 and d % 1024 == 0
-                        and nbp <= 8 * params.nr_subgrids):
+                        and (nbp <= 8 * params.nr_subgrids
+                             or out_gb_pre > 5.0)):
                     method = "ranges"
                 elif nbp * d * 4 <= VMEM_GRID_LIMIT:
                     method = "pallas"
@@ -380,12 +386,15 @@ def cmd_grid(args) -> int:
                       f"per-stripe range bands")
 
                 def fn(s, x, y):
-                    re_b, im_b = subgrids_to_grid_ranges_streamed(
-                        s, x, y, g, apply_fft, plan=rplan)
-                    # keep only a corner per band (see the streamed
-                    # scatter path's rationale)
-                    return (tuple(b[:1, :1] for b in re_b),
-                            tuple(b[:1, :1] for b in im_b))
+                    # consume keeps only a corner per band and throttles
+                    # the stripe queue (PJRT allocates outputs at enqueue
+                    # — unthrottled, all bands allocate before the first
+                    # stripe runs and the device OOMs)
+                    return subgrids_to_grid_ranges_streamed(
+                        s, x, y, g, apply_fft, plan=rplan,
+                        consume=lambda band: (band[0][:1, :1],
+                                              band[1][:1, :1]),
+                    )
             else:
                 fn = jax.jit(lambda s, x, y: subgrids_to_grid_ranges(
                     s, x, y, g, apply_fft, plan=rplan))

@@ -631,18 +631,37 @@ def _grid_add_ranges_call(pieces: Pair, plan: GridAddRangePlan,
         in_refs = refs[:8]
         o_ref = refs[8]
         b = pl.program_id(0)
-        acc = jnp.zeros((eight, d8), jnp.float32)
-        for q in range(4):
-            r0 = starts_ref[q * nbp + b]
-            ln = lens_ref[q * nbp + b]
-            base = (r0 // w) * w
-            rows = jnp.concatenate(
-                [in_refs[2 * q][...], in_refs[2 * q + 1][...]], axis=0
-            )                                        # [2W, 8, d8]
-            idx = base + jax.lax.broadcasted_iota(jnp.int32, (2 * w, 1, 1), 0)
-            sel = ((idx >= r0) & (idx < r0 + ln)).astype(jnp.float32)
-            acc = acc + jnp.sum(rows * sel, axis=0)
-        o_ref[...] = acc[None]
+        # Empty-block fast path (sparse plans: 16384² is ~91% empty
+        # blocks): the select/sum over 8 windows costs ~1.8 µs/block
+        # whether or not anything matches — predicate it on occupancy and
+        # emit plain zeros otherwise. Window DMAs still issue, but
+        # consecutive empty blocks map to the same window index and the
+        # pipeline skips the re-fetch. Bit-identical (all-false selects
+        # produced exact zeros).
+        occupied = (
+            lens_ref[0 * nbp + b] + lens_ref[1 * nbp + b]
+            + lens_ref[2 * nbp + b] + lens_ref[3 * nbp + b]
+        ) > 0
+
+        @pl.when(jnp.logical_not(occupied))
+        def _():
+            o_ref[...] = jnp.zeros((1, eight, d8), jnp.float32)
+
+        @pl.when(occupied)
+        def _():
+            acc = jnp.zeros((eight, d8), jnp.float32)
+            for q in range(4):
+                r0 = starts_ref[q * nbp + b]
+                ln = lens_ref[q * nbp + b]
+                base = (r0 // w) * w
+                rows = jnp.concatenate(
+                    [in_refs[2 * q][...], in_refs[2 * q + 1][...]], axis=0
+                )                                    # [2W, 8, d8]
+                idx = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * w, 1, 1), 0)
+                sel = ((idx >= r0) & (idx < r0 + ln)).astype(jnp.float32)
+                acc = acc + jnp.sum(rows * sel, axis=0)
+            o_ref[...] = acc[None]
 
     def win_spec(q, off):
         return pl.BlockSpec(
@@ -674,6 +693,186 @@ def _grid_add_ranges_call(pieces: Pair, plan: GridAddRangePlan,
                 vmem_limit_bytes=96 * 1024 * 1024,
             ),
         )(starts, lens, *([rows] * 8)))
+    return tuple(out)
+
+
+class GridAddMergedPlan:
+    """Host routing for the m-merged range kernel (sparse plans).
+
+    Merging m consecutive-bx blocks per grid step cuts the step count m×
+    — the per-step cost of the range kernels is DMA-issue/pipeline-bound
+    (~1.7 µs/block at 16384² whether or not the block is empty; the
+    pl.when empty skip recovered only 8%), so sparse HBM-capacity plans
+    want FEWER, FATTER steps. Block-sorted order makes the union of m
+    adjacent blocks' piece runs one contiguous span per quadrant (the
+    per-block runs are back-to-back segments), so one 2·wm window pair
+    covers all m positions and the per-position select-and-sum becomes a
+    [m, 2wm] 0/1 matrix against the window rows — a tiny MXU dot at
+    HIGHEST precision (exact for 0/1 selectors).
+
+    The one exception: qx-shifted quadrants at group ix0 == 0 pull their
+    j=0 position from the END of the grid row (periodic wrap) — that run
+    usually sits outside the window and its selector is all-false there
+    (absolute-index compare), so those few pieces (λ·2·nby ≈ 100 at
+    16384²) are host-listed and patched by a scatter-add post-pass; rows
+    the window DOES cover select normally and are excluded from the
+    list (coverage is computed from the same base arithmetic).
+
+    Fields: m, wm (merged window), gbase [4, ng] window anchors,
+    gocc [ng] per-group occupancy (post-pass misses excluded — a group
+    whose only pieces are misses writes zeros and lets the patch add),
+    miss_rows / miss_blocks: piece-array rows and destination block ids."""
+
+    def __init__(self, m, wm, gbase, gocc, miss_rows, miss_blocks):
+        self.m = m
+        self.wm = wm
+        self.gbase = gbase
+        self.gocc = gocc
+        self.miss_rows = miss_rows
+        self.miss_blocks = miss_blocks
+
+
+def plan_grid_add_merged(plan: GridAddRangePlan,
+                         m: int) -> GridAddMergedPlan | None:
+    """Merged-group tables from a per-block range plan. Returns None when
+    the plan's geometry doesn't support merging (m ∤ nbx, padded block
+    tail, or a pathological window: wm > 16·m suggests a dense plan that
+    belongs on the per-block kernels)."""
+    nbx, nby, nbp = plan.nbx, plan.nby, plan.nbp
+    nb = nby * nbx
+    if m < 2 or nbx % m or nbp != nb or nb % m:
+        return None
+    ng = nb // m
+    s4 = plan.starts[:, :nb].reshape(4, ng, m).astype(np.int64)
+    l4 = plan.lens[:, :nb].reshape(4, ng, m).astype(np.int64)
+    # wrap groups: qx == 1 quadrants (ids 1, 3 in _QUADRANTS order) at
+    # ix0 == 0 — position j=0 sources the row-end block
+    wrap_g = (np.arange(ng) * m) % nbx == 0
+    outlier = np.zeros((4, ng, m), bool)
+    outlier[1, wrap_g, 0] = True
+    outlier[3, wrap_g, 0] = True
+    big = np.int64(1) << 60
+    r0 = np.where(outlier, big, s4).min(axis=2)              # [4, ng]
+    end = np.where(outlier, -1, s4 + l4).max(axis=2)
+    empty = np.where(outlier, 0, l4).sum(axis=2) == 0
+    r0 = np.where(empty, 0, r0)
+    end = np.where(empty, 0, np.maximum(end, r0))
+    span = int((end - r0).max()) if ng else 0
+    wm = max(8, -(-span // 8) * 8)
+    if wm > 16 * m:
+        return None
+    gbase = r0.astype(np.int32)
+    base = (r0 // wm) * wm
+    # misses: outlier rows not covered by [base, base + 2wm)
+    miss_rows, miss_blocks = [], []
+    for q in (1, 3):
+        for g in np.nonzero(wrap_g)[0]:
+            o0 = int(s4[q, g, 0])
+            oln = int(l4[q, g, 0])
+            if not oln:
+                continue
+            lo_cov, hi_cov = int(base[q, g]), int(base[q, g]) + 2 * wm
+            for r in range(o0, o0 + oln):
+                if not (lo_cov <= r < hi_cov):
+                    miss_rows.append(r)
+                    miss_blocks.append(g * m)
+    gocc = (
+        np.where(outlier, 0, l4).sum(axis=(0, 2)).astype(np.int32)
+    )
+    return GridAddMergedPlan(
+        m, wm, gbase, gocc,
+        np.asarray(miss_rows, np.int64), np.asarray(miss_blocks, np.int64),
+    )
+
+
+def _grid_add_ranges_merged_call(pieces: Pair, m: int, wm: int,
+                                 starts_np, lens_np, gbase_np, gocc_np,
+                                 interpret) -> Pair:
+    """One pallas_call of the merged range kernel over one stripe's
+    blocks (see GridAddMergedPlan). Tables may be host numpy or
+    device arrays (pre-uploaded by the streamed wrapper).
+
+    Output stays in block layout [NBp, 8, d8]; emitting band windows
+    directly was tried and Mosaic rejects the required lane→sublane
+    in-kernel transpose ("unsupported shape cast") — the dot output
+    carries the whole payload on lanes, so the block→band relayout
+    lives with XLA in the callers (measured 11 ms/stripe at 16384²)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m_pad, eight, d8 = pieces[0].shape
+    nbp = starts_np.shape[1]
+    ng = nbp // m
+    n_wblocks = m_pad // wm
+    starts = jnp.asarray(starts_np).reshape(-1)
+    lens = jnp.asarray(lens_np).reshape(-1)
+    gbase = jnp.asarray(gbase_np).reshape(-1)
+    gocc = jnp.asarray(gocc_np).reshape(-1)
+    def kernel(starts_ref, lens_ref, gbase_ref, gocc_ref, *refs):
+        in_refs = refs[:8]
+        o_ref = refs[8]
+        b = pl.program_id(0)
+
+        @pl.when(gocc_ref[b] == 0)
+        def _():
+            o_ref[...] = jnp.zeros((m, eight, d8), jnp.float32)
+
+        @pl.when(gocc_ref[b] > 0)
+        def _():
+            acc = jnp.zeros((m, eight * d8), jnp.float32)
+            for q in range(4):
+                rows = jnp.concatenate(
+                    [in_refs[2 * q][...], in_refs[2 * q + 1][...]], axis=0
+                ).reshape(2 * wm, eight * d8)
+                base = (gbase_ref[q * ng + b] // wm) * wm
+                idx = base + lax.broadcasted_iota(jnp.int32, (1, 2 * wm), 1)
+                r0s = jnp.stack(
+                    [starts_ref[q * nbp + b * m + j] for j in range(m)]
+                ).reshape(m, 1)
+                lns = jnp.stack(
+                    [lens_ref[q * nbp + b * m + j] for j in range(m)]
+                ).reshape(m, 1)
+                sel = ((idx >= r0s) & (idx < r0s + lns)).astype(jnp.float32)
+                # 0/1 selector contraction on the MXU: HIGHEST (3-way
+                # split) is exact for selector · f32-row products
+                acc = acc + jax.lax.dot_general(
+                    sel, rows, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+            o_ref[...] = acc.reshape(m, eight, d8)
+
+    def win_spec(q, off):
+        return pl.BlockSpec(
+            (wm, eight, d8),
+            lambda b, starts_, lens_, gbase_, gocc_, q=q, off=off: (
+                jnp.minimum(gbase_[q * ng + b] // wm + off, n_wblocks - 1),
+                0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec((m, eight, d8), lambda b, *_: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((nbp, eight, d8), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(ng,),
+        in_specs=[win_spec(q, off) for q in range(4) for off in (0, 1)],
+        out_specs=out_spec,
+    )
+    out = []
+    for rows in pieces:
+        (rows,) = jax.lax.optimization_barrier((rows,))
+        out.append(pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+        )(starts, lens, gbase, gocc, *([rows] * 8)))
     return tuple(out)
 
 
@@ -737,32 +936,47 @@ def _grid_add_ranges_tiles_call(tiles: Pair, oyx, w: int, n: int,
         oyx_refs = refs[8:16]
         o_ref = refs[16]
         b = pl.program_id(0)
-        # static lane→pixel maps of the flattened (p, i, j) payload
-        r_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 1)
-        c_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 2)
-        flat = r_iota * d8 + c_iota
-        i_map = (flat // n) % n
-        j_map = flat % n
-        acc = jnp.zeros((eight, d8), jnp.float32)
-        for q, (qy, qx) in enumerate(_QUADRANTS):
-            t0 = ts_ref[q * nbp + b]
-            ln = ln_ref[q * nbp + b]
-            base = (t0 // w) * w
-            rows = jnp.concatenate(
-                [tile_refs[2 * q][...], tile_refs[2 * q + 1][...]], axis=0
-            )                                        # [2W, 8, d8]
-            oyx_rows = jnp.concatenate(
-                [oyx_refs[2 * q][...], oyx_refs[2 * q + 1][...]], axis=0
-            )                                        # [2W, 1, 2]
-            oy_r = oyx_rows[:, :, 0:1]               # [2W, 1, 1]
-            ox_r = oyx_rows[:, :, 1:2]
-            idx = base + lax.broadcasted_iota(jnp.int32, (2 * w, 1, 1), 0)
-            sel = (idx >= t0) & (idx < t0 + ln)
-            my = (i_map >= oy_r) if qy == 0 else (i_map < oy_r)
-            mx = (j_map >= ox_r) if qx == 0 else (j_map < ox_r)
-            mult = (sel & my & mx).astype(jnp.float32)
-            acc = acc + jnp.sum(rows * mult, axis=0)
-        o_ref[...] = acc[None]
+        # Empty-block fast path — see _grid_add_ranges_call. Bit-identical.
+        occupied = (
+            ln_ref[0 * nbp + b] + ln_ref[1 * nbp + b]
+            + ln_ref[2 * nbp + b] + ln_ref[3 * nbp + b]
+        ) > 0
+
+        @pl.when(jnp.logical_not(occupied))
+        def _():
+            o_ref[...] = jnp.zeros((1, eight, d8), jnp.float32)
+
+        @pl.when(occupied)
+        def _():
+            # static lane→pixel maps of the flattened (p, i, j) payload
+            r_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 1)
+            c_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 2)
+            flat = r_iota * d8 + c_iota
+            i_map = (flat // n) % n
+            j_map = flat % n
+            acc = jnp.zeros((eight, d8), jnp.float32)
+            for q, (qy, qx) in enumerate(_QUADRANTS):
+                t0 = ts_ref[q * nbp + b]
+                ln = ln_ref[q * nbp + b]
+                base = (t0 // w) * w
+                rows = jnp.concatenate(
+                    [tile_refs[2 * q][...], tile_refs[2 * q + 1][...]],
+                    axis=0,
+                )                                    # [2W, 8, d8]
+                oyx_rows = jnp.concatenate(
+                    [oyx_refs[2 * q][...], oyx_refs[2 * q + 1][...]],
+                    axis=0,
+                )                                    # [2W, 1, 2]
+                oy_r = oyx_rows[:, :, 0:1]           # [2W, 1, 1]
+                ox_r = oyx_rows[:, :, 1:2]
+                idx = base + lax.broadcasted_iota(
+                    jnp.int32, (2 * w, 1, 1), 0)
+                sel = (idx >= t0) & (idx < t0 + ln)
+                my = (i_map >= oy_r) if qy == 0 else (i_map < oy_r)
+                mx = (j_map >= ox_r) if qx == 0 else (j_map < ox_r)
+                mult = (sel & my & mx).astype(jnp.float32)
+                acc = acc + jnp.sum(rows * mult, axis=0)
+            o_ref[...] = acc[None]
 
     def win_spec(q, off, block):
         return pl.BlockSpec(
@@ -1276,6 +1490,7 @@ def _ranges_streamed_fns(g: int, p: int, n: int, s: int, apply_fft: bool,
 def subgrids_to_grid_ranges_streamed(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
     interpret=None, plan: GridAddRangePlan | None = None,
+    merge: int | None = None, consume=None,
 ):
     """subgrids_to_grid_ranges for grids near HBM capacity (e.g. 16384²
     full-pol = 8.6 GB split-pair output): the masked piece array is
@@ -1286,7 +1501,20 @@ def subgrids_to_grid_ranges_streamed(
 
     Returns (re_bands, im_bands): tuples of [P, rows, G] arrays in row
     order, deliberately not concatenated (the concat is one more
-    full-grid copy — exactly what OOMs at this scale)."""
+    full-grid copy — exactly what OOMs at this scale).
+
+    merge: blocks per grid step (see GridAddMergedPlan) — None
+    auto-selects (sparse plans merge 16; dense plans keep the per-block
+    kernel, whose windows would blow up under merging); 0 forces
+    per-block.
+
+    consume: optional per-band reducer (band_pair -> small arrays). When
+    set, each full [P, rows, G] band pair is reduced as soon as its
+    stripe is issued and the big buffers are dropped, with a 2-stripe
+    pipeline throttle — PJRT allocates outputs at ENQUEUE time, so an
+    unthrottled loop allocates every band before the first stripe
+    executes (~8.6 GB of transient at 16384², the OOM). Benchmarks pass
+    a corner-slice; real consumers can write bands out or reduce them."""
     from .pallas.common import use_interpret
 
     if interpret is None:
@@ -1298,6 +1526,16 @@ def subgrids_to_grid_ranges_streamed(
         plan = plan_grid_add_ranges(coord_x, coord_y, grid_size, n)
     if d % 1024:
         raise ValueError("streamed ranges needs a lane-divisible payload")
+    if merge is None:
+        nb = plan.nby * plan.nbx
+        merge = 16 if nb >= 8 * plan.nr_subgrids else 0
+    if merge:
+        mplan = plan_grid_add_merged(plan, merge)
+        if mplan is not None:
+            return _subgrids_to_grid_merged_streamed(
+                sub, coord_x, coord_y, g, apply_fft, interpret, plan,
+                mplan, consume,
+            )
     prep, one_stripe = _ranges_streamed_fns(
         g, p, n, s, apply_fft, plan.w, plan.nr_subgrids, plan.nbx,
         interpret,
@@ -1306,14 +1544,147 @@ def subgrids_to_grid_ranges_streamed(
     nbx = plan.nbx
     nb = plan.nby * plan.nbx
     stripe = max(nbx, (MAX_RANGE_BLOCKS // nbx) * nbx)
+    # Upload the per-stripe range tables once per plan (memoized on the
+    # plan object): per-call jnp.asarray(host) costs a tunnel round trip
+    # per stripe per timing rep (~18 ms/call at 16384²).
+    tabs = getattr(plan, "_streamed_tables", None)
+    if tabs is None or tabs[0] != stripe:
+        tabs = (stripe, [
+            (
+                jnp.asarray(np.ascontiguousarray(plan.starts[:, lo:hi])),
+                jnp.asarray(np.ascontiguousarray(plan.lens[:, lo:hi])),
+                (hi - lo) // nbx,
+            )
+            for lo, hi in (
+                (lo, min(lo + stripe, nb))
+                for lo in range(0, nb, stripe)
+            )
+        ])
+        plan._streamed_tables = tabs
     re_bands, im_bands = [], []
+    consumed = []
+    for st, ln, rows in tabs[1]:
+        band = one_stripe(pieces, st, ln, rows)
+        if consume is not None:
+            consumed.append(consume(band))
+            # throttle every 4th stripe (each host sync costs ~10 ms over
+            # the tunnel; a 4-deep backlog stays well under HBM capacity)
+            if len(consumed) % 4 == 0:
+                jax.block_until_ready(consumed[-4])
+        else:
+            re_bands.append(band[0])
+            im_bands.append(band[1])
+    if consume is not None:
+        return consumed
+    return tuple(re_bands), tuple(im_bands)
+
+
+@lru_cache(maxsize=None)
+def _merged_streamed_fns(g: int, p: int, n: int, s: int, apply_fft: bool,
+                         m: int, wm: int, nbx: int, kmiss: int,
+                         interpret: bool):
+    """Cached jitted (prep, one_stripe) for the MERGED streamed path.
+    Pieces are window-padded for wm (not the per-block plan's w); the
+    stripe body runs the merged kernel, patches the ≤kmiss wrap misses
+    via a scatter-add (padded entries point at a guaranteed-zero pad
+    piece row and block 0), and assembles the band."""
+    d = p * n * n
+    d8 = d // 8
+    pad = _pad_to_windows(4 * s, wm)
+    m_pad = 4 * s + pad
+
+    @jax.jit
+    def prep(sub, coord_x, coord_y):
+        cy = coord_y.astype(jnp.int32) % g
+        cx = coord_x.astype(jnp.int32) % g
+        oy, ox = cy % n, cx % n
+        x = sub
+        if apply_fft:
+            x = _phase_roll_fourier(x, oy, ox, shifted=True)
+            x = fft2_shift_pair(x, inverse=True)
+            pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
+        else:
+            pre, pim = _quadrant_pieces(x, coord_y, coord_x, g)
+            z = jnp.zeros((pad, p, n, n), pre.dtype)
+            pre, pim = jnp.concatenate([pre, z]), jnp.concatenate([pim, z])
+        return pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)
+
+    @partial(jax.jit, static_argnums=7)
+    def one_stripe(pieces, st, ln, gb, go, miss_rows, miss_blocks, rows):
+        blocks = _grid_add_ranges_merged_call(
+            pieces, m, wm, st, ln, gb, go, interpret
+        )
+        if kmiss:
+            # wrap-miss patch: a handful of scatter-adds (padded entries
+            # point at a zero pad piece row and block 0)
+            blocks = tuple(
+                b.at[miss_blocks].add(jnp.take(pc, miss_rows, axis=0))
+                for b, pc in zip(blocks, pieces)
+            )
+        return tuple(
+            b.reshape(rows, nbx, p, n, n)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(p, rows * n, g)
+            for b in blocks
+        )
+
+    return prep, one_stripe
+
+
+def _subgrids_to_grid_merged_streamed(sub, coord_x, coord_y, g, apply_fft,
+                                      interpret, plan, mplan, consume=None):
+    s, p, n, _ = sub[0].shape
+    nbx = plan.nbx
+    nb = plan.nby * plan.nbx
+    m, wm = mplan.m, mplan.wm
+    stripe = max(nbx, (MAX_RANGE_BLOCKS // nbx) * nbx)
+    # per-stripe miss lists, padded to one static width
+    per = []
     for lo in range(0, nb, stripe):
         hi = min(lo + stripe, nb)
-        st = jnp.asarray(np.ascontiguousarray(plan.starts[:, lo:hi]))
-        ln = jnp.asarray(np.ascontiguousarray(plan.lens[:, lo:hi]))
-        band = one_stripe(pieces, st, ln, (hi - lo) // nbx)
-        re_bands.append(band[0])
-        im_bands.append(band[1])
+        in_s = (mplan.miss_blocks >= lo) & (mplan.miss_blocks < hi)
+        per.append((mplan.miss_rows[in_s], mplan.miss_blocks[in_s] - lo))
+    kmiss = max((len(r) for r, _ in per), default=0)
+    prep, one_stripe = _merged_streamed_fns(
+        g, p, n, s, apply_fft, m, wm, nbx, kmiss, interpret
+    )
+    pieces = prep(sub, coord_x, coord_y)
+    pad_row = 4 * s + _pad_to_windows(4 * s, wm) - 1   # guaranteed zero
+    tabs = getattr(plan, "_merged_tables", None)
+    if tabs is None or tabs[0] != (stripe, m):
+        rows_list = []
+        for i, lo in enumerate(range(0, nb, stripe)):
+            hi = min(lo + stripe, nb)
+            mr = np.full(kmiss, pad_row, np.int32)
+            mb = np.zeros(kmiss, np.int32)
+            mr[:len(per[i][0])] = per[i][0]
+            mb[:len(per[i][1])] = per[i][1]
+            rows_list.append((
+                jnp.asarray(np.ascontiguousarray(plan.starts[:, lo:hi])),
+                jnp.asarray(np.ascontiguousarray(plan.lens[:, lo:hi])),
+                jnp.asarray(
+                    np.ascontiguousarray(mplan.gbase[:, lo // m:hi // m])),
+                jnp.asarray(np.ascontiguousarray(mplan.gocc[lo // m:hi // m])),
+                jnp.asarray(mr), jnp.asarray(mb),
+                (hi - lo) // nbx,
+            ))
+        tabs = ((stripe, m), rows_list)
+        plan._merged_tables = tabs
+    re_bands, im_bands = [], []
+    consumed = []
+    for st, ln, gb, go, mr, mb, rows in tabs[1]:
+        band = one_stripe(pieces, st, ln, gb, go, mr, mb, rows)
+        if consume is not None:
+            consumed.append(consume(band))
+            # throttle every 4th stripe (each host sync costs ~10 ms over
+            # the tunnel; a 4-deep backlog stays well under HBM capacity)
+            if len(consumed) % 4 == 0:
+                jax.block_until_ready(consumed[-4])
+        else:
+            re_bands.append(band[0])
+            im_bands.append(band[1])
+    if consume is not None:
+        return consumed
     return tuple(re_bands), tuple(im_bands)
 
 

@@ -484,6 +484,85 @@ def test_grid_add_ranges_streamed_matches_fused(small_params, monkeypatch):
                                atol=3e-6)
 
 
+def test_grid_add_merged_streamed_matches_fused(small_params, monkeypatch):
+    """The m-merged streamed kernel (sparse HBM-capacity plans: one grid
+    step per m consecutive blocks, selector MXU dot, host-planned wrap
+    misses patched by scatter-add) reassembles to the fused ranges grid.
+    Coordinates stack the last block column so the qx-shifted quadrants'
+    wrap groups actually produce misses."""
+    import jax.numpy as jnp
+
+    import idg_tpu.ops.grid as grid_mod
+    from idg_tpu.ops.grid import (block_sort_order, plan_grid_add_merged,
+                                  plan_grid_add_ranges,
+                                  subgrids_to_grid_ranges,
+                                  subgrids_to_grid_ranges_streamed)
+
+    rng = np.random.default_rng(11)
+    p, n, g = 4, 16, 512
+    cx = np.concatenate([
+        np.full(10, g - n + 5), rng.integers(0, g, 60),
+    ]).astype(np.int32)
+    cy = np.concatenate([
+        rng.integers(0, g, 10), rng.integers(0, g, 60),
+    ]).astype(np.int32)
+    s = cx.shape[0]
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = cx[order], cy[order]
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    plan = plan_grid_add_ranges(cx, cy, g, n)
+    mplan = plan_grid_add_merged(plan, 16)
+    assert mplan is not None
+    assert len(mplan.miss_rows) > 0, "test data must exercise wrap misses"
+    fused = subgrids_to_grid_ranges(sub, cx, cy, g, apply_fft=True,
+                                    interpret=True, plan=plan)
+    monkeypatch.setattr(grid_mod, "MAX_RANGE_BLOCKS", 64)  # 2-row stripes
+    re_b, im_b = subgrids_to_grid_ranges_streamed(
+        sub, jnp.asarray(cx), jnp.asarray(cy), g, apply_fft=True,
+        interpret=True, plan=plan, merge=16,
+    )
+    got = (np.concatenate([np.asarray(b) for b in re_b], axis=1),
+           np.concatenate([np.asarray(b) for b in im_b], axis=1))
+    scale = max(float(np.abs(np.asarray(fused[0])).max()), 1.0)
+    np.testing.assert_allclose(got[0] / scale, np.asarray(fused[0]) / scale,
+                               atol=3e-6)
+    np.testing.assert_allclose(got[1] / scale, np.asarray(fused[1]) / scale,
+                               atol=3e-6)
+
+
+def test_grid_add_merged_consume_reduces_bands(small_params):
+    """consume= reduces each band as its stripe is issued (the OOM-safe
+    benchmark path) and returns the reduced list in stripe order."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.grid import (block_sort_order,
+                                  subgrids_to_grid_ranges_streamed)
+
+    rng = np.random.default_rng(13)
+    s, p, n, g = 20, 4, 16, 256
+    cx = rng.integers(0, g, s).astype(np.int32)
+    cy = rng.integers(0, g, s).astype(np.int32)
+    order = block_sort_order(cx, cy, g, n)
+    cx, cy = jnp.asarray(cx[order]), jnp.asarray(cy[order])
+    sub = (
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(s, p, n, n)).astype(np.float32)),
+    )
+    full = subgrids_to_grid_ranges_streamed(sub, cx, cy, g, apply_fft=False,
+                                            interpret=True, merge=0)
+    reduced = subgrids_to_grid_ranges_streamed(
+        sub, cx, cy, g, apply_fft=False, interpret=True, merge=0,
+        consume=lambda band: (band[0].sum(), band[1].sum()),
+    )
+    assert len(reduced) == len(full[0])
+    want_re = sum(float(np.asarray(b).sum()) for b in full[0])
+    got_re = sum(float(r[0]) for r in reduced)
+    np.testing.assert_allclose(got_re, want_re, rtol=1e-5)
+
+
 def test_grid_add_ranges_striped(small_params, monkeypatch):
     """Large-grid SMEM striping (MAX_RANGE_BLOCKS) produces the same grid
     as the single-call path."""
