@@ -95,23 +95,44 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
     rversion, rw_rank = _resolve(workload, version, params, obs, w_rank)
 
     if mesh_size:
+        from .ops.pallas import STAGED
         from .parallel import make_mesh
         from .parallel.sharded import (
             shard_observation,
+            shard_staged_inputs,
             sharded_degridder,
+            sharded_degridder_staged,
             sharded_gridder,
+            sharded_gridder_staged,
         )
         from .types import split_complex, split_observation
 
         mesh = make_mesh(mesh_size)
-        sharded_sobs, s_pad = shard_observation(
-            params, split_observation(obs), mesh)
-        if workload == "gridder":
+        if (workload, rversion) in STAGED:
+            # launch-only timing, comparable to the single-chip staged
+            # benchmarks: staging runs once, pre-sharded
+            stg_sh, spair_sh = shard_staged_inputs(
+                params, split_observation(obs), mesh, workload, rversion,
+                subgrids,
+            )
+            if workload == "gridder":
+                fn = sharded_gridder_staged(
+                    params, mesh, rversion, w_rank=rw_rank, slim=True)
+                args = (stg_sh,)
+            else:
+                fn = sharded_degridder_staged(
+                    params, mesh, rversion, w_rank=rw_rank, slim=True)
+                args = (stg_sh, spair_sh)
+        elif workload == "gridder":
+            sharded_sobs, s_pad = shard_observation(
+                params, split_observation(obs), mesh)
             fn = sharded_gridder(params, mesh, rversion, w_rank=rw_rank)
             args = (sharded_sobs,)
         else:
             from .parallel.distributed import distribute_subgrid_pair
 
+            sharded_sobs, s_pad = shard_observation(
+                params, split_observation(obs), mesh)
             # pad/shard the subgrid pair to the observation's padded row
             # count (shard_map needs matching, mesh-divisible axes)
             spair = distribute_subgrid_pair(

@@ -1376,7 +1376,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
                                   cfold: bool = False, qsplit: bool = False,
                                   hswap: bool = False, sstore: bool = False,
                                   dbuf: bool = False, swpipe: bool = False,
-                                  kmerge: int = 0):
+                                  kmerge: int = 0, raw: bool = False):
     import dataclasses as _dc
 
     if kmerge:
@@ -1475,6 +1475,12 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
         subgrids[0], subgrids[1], stg.sph,
         *at_inputs,
     )
+    if raw:
+        # c-major [S, P, V] rows, untransposed: shard_map bodies
+        # materialize the [S, T, C, P] form with a default (8,128)-tiled
+        # layout whose (16, 4) minors pad 32× (25.7 GB at fullsize) —
+        # the mesh wrappers transpose OUTSIDE the body instead
+        return re[:S], im[:S]
     re = jnp.transpose(re[:S].reshape(S, P_POLS, C, T), (0, 3, 2, 1))
     im = jnp.transpose(im[:S].reshape(S, P_POLS, C, T), (0, 3, 2, 1))
     return re, im
@@ -1505,11 +1511,11 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                cfold: bool = True, qsplit: bool = False,
                                hswap: bool = False, sstore: bool = False,
                                dbuf: bool = False, swpipe: bool = False,
-                               kmerge: int = 3):
+                               kmerge: int = 3, raw: bool = False):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
-        qsplit, hswap, sstore, dbuf, swpipe, kmerge,
+        qsplit, hswap, sstore, dbuf, swpipe, kmerge, raw,
     )
 
 
@@ -1537,9 +1543,10 @@ def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
                                batch: int = 8, w_rank: int = 1,
                                qsplit: bool = False, hswap: bool = False,
                                sstore: bool = False, dbuf: bool = False,
-                               swpipe: bool = False, kmerge: int = 3):
+                               swpipe: bool = False, kmerge: int = 3,
+                               raw: bool = False):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, ("3x2k",), interpret, batch, qsplit=qsplit, hswap=hswap,
-        sstore=sstore, dbuf=dbuf, swpipe=swpipe, kmerge=kmerge,
+        sstore=sstore, dbuf=dbuf, swpipe=swpipe, kmerge=kmerge, raw=raw,
     )

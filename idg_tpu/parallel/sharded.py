@@ -229,6 +229,152 @@ def sharded_degridder(params: IDGParams, mesh: Mesh, version: str = "xla_v2",
     return jax.jit(local)
 
 
+def _staged_partition_specs(stg, axis):
+    """Staged-shaped pytree of PartitionSpecs: per-subgrid arrays sharded
+    on axis 0, shared planes (DFT rows, spheroidal, aterm banks,
+    wavenumbers) replicated. None fields stay None."""
+    from ..ops.pallas.common import _PER_SUBGRID_FIELDS
+
+    updates = {}
+    for f in dataclasses.fields(stg):
+        v = getattr(stg, f.name)
+        if v is None:
+            updates[f.name] = None
+        elif f.name in _PER_SUBGRID_FIELDS:
+            updates[f.name] = P(axis)
+        else:
+            updates[f.name] = P()
+    return dataclasses.replace(stg, **updates)
+
+
+def shard_staged_inputs(params: IDGParams, sobs: SplitObservation,
+                        mesh: Mesh, workload: str, version: str,
+                        subgrids=None):
+    """Stage once from the (padded) global observation, then reshard the
+    staged pytree across the mesh. Staging gathers run BEFORE sharding,
+    so no per-shard time-offset localization is needed — the sharded
+    arrays are plain row splits. Returns (staged_sharded,
+    subgrid_pair_sharded_or_None).
+
+    This is the mesh analogue of ops.api.staged_runner's input side: the
+    timed window on each shard contains only kernel launches, making
+    mesh-N rows directly comparable to the single-chip staged benchmarks
+    (the unstaged sharded_gridder path re-stages inside the timed jit —
+    ~9x the launch cost at the fullsize problem on hardware)."""
+    from ..ops.pallas import STAGED
+    from ..types import split_complex
+    from .distributed import distribute_subgrid_pair
+
+    stage_fn, _ = STAGED[(workload, version)]
+    padded, s_pad = _pad_observation(params, sobs, mesh.devices.size)
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, with_vis=(workload == "gridder")),
+        static_argnums=0,
+    )(params, jax.device_put(padded))
+    axis = tuple(mesh.axis_names)
+    specs = _staged_partition_specs(stg, axis)
+    shardings = jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    stg_sharded = jax.device_put(stg, shardings)
+    spair = None
+    if subgrids is not None:
+        spair = distribute_subgrid_pair(
+            split_complex(subgrids), mesh, s_pad)
+    return stg_sharded, spair
+
+
+def _staged_run_fn(workload: str, version: str, w_rank, raw: bool = False):
+    import inspect
+
+    from ..ops.pallas import STAGED
+
+    _, run_fn = STAGED[(workload, version)]
+    sig = inspect.signature(run_fn).parameters
+    if w_rank is not None and "w_rank" in sig:
+        run_fn = partial(run_fn, w_rank=w_rank)
+    raw_ok = raw and "raw" in sig
+    if raw_ok:
+        run_fn = partial(run_fn, raw=True)
+    return run_fn, raw_ok
+
+
+def sharded_gridder_staged(params: IDGParams, mesh: Mesh, version: str,
+                           w_rank: int | None = None, slim: bool = False):
+    """jitted fn(staged_sharded) -> (re, im) subgrids sharded on axis 0,
+    timing-comparable to the single-chip staged benchmark (launch-only).
+
+    Bodies return 2-D [S_local, ·] (and the wrapper reshapes back):
+    shard_map boundary values get default TILED layouts on the two minor
+    dims, and [S,T,C,P] with minors (16, 4) pads (8,128)-tiles 32× — a
+    25.7 GB boundary copy at the fullsize degridder (compile-time OOM);
+    the gridder's (N, N) minors pad 4×. Flat rows tile exactly."""
+    run_fn, _ = _staged_run_fn("gridder", version, w_rank)
+    axis = tuple(mesh.axis_names)
+    p_pols, n = params.nr_correlations, params.subgrid_size
+
+    def fn(stg):
+        local = jax.shard_map(
+            lambda st: tuple(
+                v.reshape(v.shape[0], -1) for v in run_fn(params, st)
+            ),
+            mesh=mesh, in_specs=(_staged_partition_specs(stg, axis),),
+            out_specs=(P(axis), P(axis)), check_vma=False,
+        )
+        re, im = local(stg)
+        re = re.reshape(-1, p_pols, n, n)
+        im = im.reshape(-1, p_pols, n, n)
+        if slim:
+            # leading-axis output slice: full results stay internal temps
+            # instead of per-launch persistent outputs with padded tiled
+            # jit-boundary layouts (see ops.api.staged_runner's _slim)
+            return re[:1], im[:1]
+        return re, im
+
+    return jax.jit(fn)
+
+
+def sharded_degridder_staged(params: IDGParams, mesh: Mesh, version: str,
+                             w_rank: int | None = None, slim: bool = False):
+    """jitted fn(staged_sharded, sub_pair) -> (re, im) visibilities.
+    2-D boundary values — see sharded_gridder_staged. Kernels exposing
+    `raw` skip their internal [S,P,V]→[S,T,C,P] transpose inside the body
+    (its tiled boundary copy pads 32×, a compile-time OOM at fullsize)
+    and transpose outside the shard_map instead."""
+    run_fn, raw = _staged_run_fn("degridder", version, w_rank, raw=True)
+    axis = tuple(mesh.axis_names)
+    t, c = params.nr_timesteps_subgrid, params.nr_channels
+    p_pols = params.nr_correlations
+
+    def fn(stg, sub):
+        local = jax.shard_map(
+            lambda st, su: tuple(
+                v.reshape(v.shape[0], -1) for v in run_fn(params, st, su)
+            ),
+            mesh=mesh,
+            in_specs=(_staged_partition_specs(stg, axis),
+                      (P(axis), P(axis))),
+            out_specs=(P(axis), P(axis)), check_vma=False,
+        )
+        re, im = local(stg, sub)
+        if raw:
+            # c-major [S, P·V] rows → [S, T, C, P] outside the body
+            re = jnp.transpose(
+                re.reshape(-1, p_pols, c, t), (0, 3, 2, 1))
+            im = jnp.transpose(
+                im.reshape(-1, p_pols, c, t), (0, 3, 2, 1))
+        else:
+            re = re.reshape(-1, t, c, p_pols)
+            im = im.reshape(-1, t, c, p_pols)
+        if slim:
+            # see sharded_gridder_staged
+            return re[:1], im[:1]
+        return re, im
+
+    return jax.jit(fn)
+
+
 def sharded_gridder_to_grid(
     params: IDGParams,
     mesh: Mesh,
