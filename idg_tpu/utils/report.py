@@ -90,6 +90,13 @@ def report_csv(
         ):
             f.write(f"{label},{value:.4g}\n" if label == "ms_stddev"
                     else f"{label},{value:.2f}\n")
+        if not joules:
+            # The reference fills these via libpowersensor
+            # (app/CUDA/util.cpp:131-155); TPU power counters are not
+            # host-readable on this platform, so emit explicit n/a rows —
+            # a reader can then tell "unmeasurable" from "forgotten".
+            for label in ("W", "GFLOP/s/W", "MVis/J"):
+                f.write(f"{label},n/a\n")
         for label, value in (extra or {}).items():
             f.write(f"{label},{value:.2f}\n")
     return file_path

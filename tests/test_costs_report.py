@@ -63,6 +63,21 @@ def test_report_csv(tmp_path):
     assert lines[0] == "ms,500.00"
     assert "GFLOP/s,200.00" in lines
     assert "MVis/s,100.00" in lines
+    # Power provenance: joules unmeasurable on this platform -> explicit n/a.
+    assert "W,n/a" in lines and "MVis/J,n/a" in lines
+
+
+def test_report_csv_power_rows_when_measured(tmp_path):
+    path = report_csv(
+        "gridder_v1", "dev", "-tpu.csv", 0.5, gflops=100.0, mvis=50.0,
+        joules=25.0, output_path=str(tmp_path),
+    )
+    metrics = dict(
+        line.split(",") for line in open(path).read().strip().splitlines()
+    )
+    assert float(metrics["W"]) == 50.0  # 25 J / 0.5 s
+    assert float(metrics["GFLOP/s/W"]) == 4.0  # 100 GFLOP / 25 J
+    assert "n/a" not in metrics.values()
 
 
 def test_report_csv_missing_device(capsys, tmp_path):

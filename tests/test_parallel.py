@@ -94,6 +94,67 @@ def test_sharded_degridder_matches_single_device(mesh, par_params, par_obs):
     assert check_error(got, expected, verbose=False).passed
 
 
+def test_sharded_gridder_staged_matches_unsharded(mesh, par_params, par_obs):
+    """The staged mesh path (stage once globally, reshard, launch-only
+    shard_map bodies) matches the unsharded staged kernel run."""
+    import jax.numpy as jnp
+
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.parallel.sharded import (
+        shard_staged_inputs,
+        sharded_gridder_staged,
+    )
+
+    sobs = split_observation(par_obs)
+    stage_fn, run_fn = STAGED[("gridder", "pallas_v3")]
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, with_vis=True), static_argnums=0
+    )(par_params, sobs)
+    exp_re, exp_im = run_fn(par_params, stg)
+    expected = combine_complex(np.asarray(exp_re), np.asarray(exp_im))
+
+    stg_sh, spair = shard_staged_inputs(
+        par_params, sobs, mesh, "gridder", "pallas_v3")
+    assert spair is None
+    re, im = sharded_gridder_staged(par_params, mesh, "pallas_v3")(stg_sh)
+    got = combine_complex(np.asarray(re), np.asarray(im))
+    assert check_error(got, expected, verbose=False).passed
+
+
+def test_sharded_degridder_staged_matches_unsharded(mesh, par_params,
+                                                    par_obs):
+    """Staged mesh degridder — including the `raw` c-major boundary path
+    (transpose outside the shard_map body) — matches the unsharded staged
+    kernel run."""
+    from idg_tpu.data import initialize_subgrids
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.parallel.sharded import (
+        shard_staged_inputs,
+        sharded_degridder_staged,
+    )
+
+    subgrids = initialize_subgrids(
+        par_params.nr_subgrids, par_params.nr_correlations,
+        par_params.subgrid_size,
+    )
+    sobs = split_observation(par_obs)
+    stage_fn, run_fn = STAGED[("degridder", "pallas_v7")]
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, with_vis=False), static_argnums=0
+    )(par_params, sobs)
+    exp_re, exp_im = run_fn(par_params, stg, split_complex(subgrids))
+    expected = combine_complex(np.asarray(exp_re), np.asarray(exp_im))
+
+    stg_sh, spair = shard_staged_inputs(
+        par_params, sobs, mesh, "degridder", "pallas_v7", subgrids)
+    assert spair is not None
+    re, im = sharded_degridder_staged(
+        par_params, mesh, "pallas_v7")(stg_sh, spair)
+    got = combine_complex(np.asarray(re), np.asarray(im))
+    assert got.shape == expected.shape  # raw path re-transposed outside
+    assert check_error(got, expected, verbose=False).passed
+
+
 def test_sharded_grid_reduction_matches_local(mesh, par_params, par_obs):
     """gridder → FFT → scatter-add → psum equals the single-device pipeline."""
     sobs = split_observation(par_obs)
