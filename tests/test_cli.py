@@ -3,6 +3,8 @@ exercising the same env-var config surface as the reference binaries)."""
 
 import json
 import os
+
+import pytest
 import subprocess
 import sys
 
@@ -146,6 +148,7 @@ def test_cli_grid_stage_pallas(tmp_path):
     assert list(tmp_path.glob("*grid_add_pallas-tpu.csv"))
 
 
+@pytest.mark.slow
 def test_cli_grid_stage_ranges_and_extract(tmp_path):
     env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
     proc = _run(["grid", "--method", "ranges"], extra_env=env)
@@ -166,6 +169,7 @@ def test_cli_grid_stage_ranges_and_extract(tmp_path):
     assert list(tmp_path.glob("*grid_extract_ranges_str-tpu.csv"))
 
 
+@pytest.mark.slow
 def test_cli_pipeline_both_directions(tmp_path):
     env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
     proc = _run(["pipeline", "--version", "xla_v2"], extra_env=env,
@@ -179,6 +183,7 @@ def test_cli_pipeline_both_directions(tmp_path):
     assert list(tmp_path.glob("*pipeline_degrid_pallas_*-tpu.csv"))
 
 
+@pytest.mark.slow
 def test_cli_pipeline_degrid_chunked(tmp_path):
     """IDG_MAX_CHUNK below S engages the per-chunk extraction→degridder
     composition (sliced plans, one consumer per chunk)."""
@@ -213,6 +218,7 @@ def test_cli_scaling_pipeline_ranges():
     assert "MVis/s" in proc.stdout
 
 
+@pytest.mark.slow
 def test_cli_scaling_pipeline_degrid():
     env = dict(
         SMALL_ENV,

@@ -253,6 +253,7 @@ def many_channel_problem():
     return params, obs, sub
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", ["pallas_v5", "pallas_v6", "pallas_v7"])
 def test_degridder_recurrence_resync_many_channels(version, many_channel_problem):
     params, obs, sub = many_channel_problem
@@ -262,6 +263,7 @@ def test_degridder_recurrence_resync_many_channels(version, many_channel_problem
     assert result.passed, f"{version}: error {result.mean_error}"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("version", ["pallas_v5", "pallas_v6"])
 def test_gridder_recurrence_resync_many_channels(version, many_channel_problem):
     params, obs, _ = many_channel_problem

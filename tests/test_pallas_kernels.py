@@ -51,6 +51,7 @@ def test_degridder_pallas_vs_golden(version, small_params, small_obs, golden_deg
     dict(qsplit=True), dict(hswap=True), dict(sstore=True),
     dict(hswap=True, sstore=True),
 ])
+@pytest.mark.slow
 def test_degridder_schedule_bit_identical(alt, small_params, small_obs,
                                           golden_degridder):
     """The VPU-diet schedules rearrange data movement only — qsplit
@@ -86,6 +87,7 @@ def test_degridder_schedule_bit_identical(alt, small_params, small_obs,
 @pytest.mark.parametrize("alt", [
     dict(kmerge=0, dbuf=True), dict(kmerge=0, swpipe=True),
 ])
+@pytest.mark.slow
 def test_degridder_reorder_schedules_bit_identical(alt, small_params,
                                                    small_obs,
                                                    golden_degridder):
@@ -112,6 +114,7 @@ def test_degridder_reorder_schedules_bit_identical(alt, small_params,
         np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(fast[1]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kmerge", [1, 2, 3])
 def test_degridder_kmerge_within_gate(kmerge, small_params, small_obs,
                                       golden_degridder):

@@ -475,6 +475,7 @@ def test_grid_extract_ranges_sparse_plan(small_params):
                                np.asarray(b[1]) / scale, atol=3e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("fft", [False, True])
 def test_grid_extract_ranges_streamed_matches_fused(small_params, fft):
     """The per-stripe streamed extraction (HBM-capacity grids: only a

@@ -98,6 +98,7 @@ def test_chunk_consumers_single_chunk_ignores_align(small_params, small_obs,
     assert bounds == [(0, small_params.nr_subgrids)]
 
 
+@pytest.mark.slow
 def test_sliced_extraction_matches_full(small_params, small_obs):
     params = small_params
     g, n = params.grid_size, params.subgrid_size

@@ -21,6 +21,7 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("workload,version", CASES)
 def test_bound_layout_matches_full_staging(workload, version, small_params,
                                            small_obs):
