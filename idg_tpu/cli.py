@@ -641,34 +641,59 @@ def cmd_pipeline(args) -> int:
     else:
         rversion, rw_rank = _resolve("gridder", version, params, obs,
                                      args.w_rank)
-        kfn, kernel_args = staged_runner("gridder", rversion, params, obs,
-                                         w_rank=rw_rank)
         plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
-        gfn = jax.jit(lambda s: subgrids_to_grid_ranges(
-            s, cx, cy, g, apply_fft=True, plan=plan))
+        kfn = kernel_args = None
+        if not args.no_fuse:
+            # fused-pieces path: the kernel epilogue applies the roll
+            # phases + folded-shift iDFT on the MXU and emits row-major
+            # pieces — no XLA producer dots, no S-minor boundary
+            # relayout (hardware A/B: the boundary alternatives measured
+            # 97.3-97.8 ms vs 91.5 ms of parts, scripts/probes/
+            # _tpu_r4_pipeab.py)
+            from .ops.api import staged_gridder_pieces_runner
 
-        # One explicit S-minor relayout at the stage boundary: the grid
-        # stage's DFT dots want batch-minor input (XLA's preferred layout
-        # for batched [32,32] matmuls), and a single device_put transpose
-        # (~4 ms) beats the per-consumer relayout copies XLA otherwise
-        # inserts inside the module (~15 ms measured at the default size).
-        sub_fmt = None
-        try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            sub_fmt = Format(
-                Layout(major_to_minor=(1, 2, 3, 0)),
-                SingleDeviceSharding(jax.devices()[0]),
+            oyx = np.stack([
+                (np.asarray(md.coord_y).astype(np.int64) % g % n),
+                (np.asarray(md.coord_x).astype(np.int64) % g % n),
+            ], axis=-1)
+            kfn, kernel_args, rversion = staged_gridder_pieces_runner(
+                params, obs, rversion, oyx, w_rank=rw_rank
             )
-        except Exception:
-            sub_fmt = None
+        if kfn is not None:
+            gfn_t = jax.jit(lambda t: subgrids_to_grid_ranges(
+                None, cx, cy, g, apply_fft=True, plan=plan, tiles_pair=t))
 
-        def pass_fn(*a):
-            sub = kfn(*a)
-            if sub_fmt is not None:
-                sub = jax.device_put(sub, (sub_fmt, sub_fmt))
-            return gfn(sub)
+            def pass_fn(*a):
+                return gfn_t(kfn(*a))
+        else:
+            kfn, kernel_args = staged_runner(
+                "gridder", rversion, params, obs, w_rank=rw_rank)
+            gfn = jax.jit(lambda s: subgrids_to_grid_ranges(
+                s, cx, cy, g, apply_fft=True, plan=plan))
+
+            # One explicit S-minor relayout at the stage boundary: the
+            # grid stage's DFT dots want batch-minor input (XLA's
+            # preferred layout for batched [32,32] matmuls), and a single
+            # device_put transpose (~4 ms) beats the per-consumer
+            # relayout copies XLA otherwise inserts inside the module
+            # (~15 ms measured at the default size).
+            sub_fmt = None
+            try:
+                from jax.experimental.layout import Format, Layout
+                from jax.sharding import SingleDeviceSharding
+
+                sub_fmt = Format(
+                    Layout(major_to_minor=(1, 2, 3, 0)),
+                    SingleDeviceSharding(jax.devices()[0]),
+                )
+            except Exception:
+                sub_fmt = None
+
+            def pass_fn(*a):
+                sub = kfn(*a)
+                if sub_fmt is not None:
+                    sub = jax.device_put(sub, (sub_fmt, sub_fmt))
+                return gfn(sub)
 
         stage_args = kernel_args
         kname = "gridder"
@@ -938,6 +963,11 @@ def main(argv=None) -> int:
                         help="degrid direction: extract all subgrids in "
                         "one pass and dynamic-slice chunks into the "
                         "degridder instead of per-chunk extraction (A/B)")
+    p_pipe.add_argument("--no-fuse", action="store_true",
+                        help="grid direction: disable the fused-pieces "
+                        "kernel epilogue (iDFT+roll in-kernel) and run "
+                        "the XLA producer + boundary relayout instead "
+                        "(A/B)")
     p_pipe.add_argument("--suffix", default="")
     p_pipe.set_defaults(fn=cmd_pipeline)
 

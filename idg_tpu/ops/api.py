@@ -441,6 +441,65 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     return jit_fn, (params, sobs, sub_pair)
 
 
+def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
+                                 version: str, oyx, w_rank=None):
+    """staged_runner's gridder path with the grid-stage producer fused
+    into the kernel epilogue (pallas.gridder.gridder_pallas_v6_pieces):
+    the timed call emits phase-rolled iDFT PIECES ready for
+    subgrids_to_grid_ranges(tiles_pair=...), skipping the XLA producer
+    dots and the S-minor stage-boundary relayout. `oyx` is the [S, 2]
+    int32 per-subgrid roll from the block-sorted metadata.
+
+    Returns (fn, args, resolved_version), or (None, None, version) when
+    the resolved version has no fused-pieces form (only the v6/v7 batch
+    kernel carries the fused epilogue)."""
+    import jax.numpy as jnp
+
+    from .pallas import STAGED
+    from .pallas.gridder import gridder_pallas_v6_pieces
+
+    version, w_rank = _resolve("gridder", version, params, obs, w_rank)
+    if version not in ("pallas_v6", "pallas_v7"):
+        return None, None, version
+    if w_rank is None and version == "pallas_v7":
+        w_rank = 1
+    stage_fn, _ = STAGED[("gridder", version)]
+    sobs = jax.device_put(split_observation(obs))
+    canonical = canonical_time_offsets(
+        obs.metadata, params.nr_timesteps_subgrid
+    )
+    stg = jax.jit(
+        partial(stage_fn, canonical=canonical, with_vis=True),
+        static_argnums=0,
+    )(params, sobs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(stg))
+    run_fn = gridder_pallas_v6_pieces
+    if w_rank is not None:
+        run_fn = partial(run_fn, w_rank=w_rank)
+    oyx_dev = jax.device_put(jnp.asarray(np.asarray(oyx), jnp.int32))
+    # row-major outputs + AOT input-layout matching, exactly as
+    # staged_runner's gridder path (the range kernel reads the pieces
+    # row-major; mismatched layouts re-insert per-launch relayouts)
+    try:
+        fmt = _rowmajor_formats(
+            jax.ShapeDtypeStruct((1, 1, 1, 1), np.float32)
+        )
+        run_jit = jax.jit(run_fn, static_argnums=0,
+                          out_shardings=(fmt, fmt))
+    except Exception:
+        run_jit = jax.jit(run_fn, static_argnums=0)
+    try:
+        compiled = run_jit.lower(params, stg, oyx_dev).compile()
+        in_fmt = compiled.input_formats[0]
+        stg = jax.device_put(stg, in_fmt[0])
+        oyx_dev = jax.device_put(oyx_dev, in_fmt[1])
+        jax.block_until_ready(jax.tree_util.tree_leaves((stg, oyx_dev)))
+        return (lambda p, st, o: compiled(st, o)), (params, stg, oyx_dev), \
+            version
+    except Exception:
+        return run_jit, (params, stg, oyx_dev), version
+
+
 def _degridder_staged_chunks(params: IDGParams, obs: Observation,
                              version: str, w_rank, align: int = 1):
     """Shared staging for the pipeline degridder consumers: resolve the

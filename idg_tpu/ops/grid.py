@@ -1815,6 +1815,7 @@ def subgrids_to_grid_ranges(
     sub: Pair, coord_x, coord_y, grid_size: int, apply_fft: bool = True,
     interpret=None, grid_in: Pair | None = None,
     plan: GridAddRangePlan | None = None,
+    tiles_pair: Pair | None = None,
 ) -> Pair:
     """Grid-add via the range-read Pallas kernel (_grid_add_ranges).
 
@@ -1828,16 +1829,27 @@ def subgrids_to_grid_ranges(
     Fourier phases (_phase_roll_fourier) and the quadrant masks are pure
     elementwise ops — the whole producer stays row-major and fuses into
     the piece concat, where the roll-einsum path pays ~94 ms of S-minor
-    relayout copies at the default problem."""
+    relayout copies at the default problem.
+
+    `tiles_pair` supplies PRE-TRANSFORMED tiles (phase-rolled iDFT
+    output, e.g. from the fused gridder epilogue,
+    pallas.gridder.gridder_pallas_v6_pieces) and skips the producer
+    entirely; `sub` is ignored and apply_fft must be True."""
     from .pallas.common import use_interpret
 
     if interpret is None:
         interpret = use_interpret()
-    s, p, n, _ = sub[0].shape
+    if tiles_pair is not None and not apply_fft:
+        raise ValueError("tiles_pair implies apply_fft=True (the tiles "
+                         "are already phase-rolled iDFT output)")
+    s, p, n, _ = (tiles_pair if tiles_pair is not None else sub)[0].shape
     d = p * n * n
     if plan is None:
         plan = plan_grid_add_ranges(coord_x, coord_y, grid_size, n)
     if d % 1024:
+        if tiles_pair is not None:
+            raise ValueError("tiles_pair requires the range-kernel row "
+                             "size P·N² to be a multiple of 1024")
         if apply_fft:
             sub = fft2_pair(fftshift2_pair(sub), inverse=True)
             sub = fftshift2_pair(sub)
@@ -1852,8 +1864,11 @@ def subgrids_to_grid_ranges(
     if apply_fft and plan.nbp <= 2 * s:
         # tile path: roll rides the iDFT as Fourier phases, quadrant
         # masking happens in-kernel — no materialized piece array
-        x = _phase_roll_fourier(sub, oy, ox, shifted=True)
-        x = fft2_shift_pair(x, inverse=True)
+        if tiles_pair is not None:
+            x = tiles_pair
+        else:
+            x = _phase_roll_fourier(sub, oy, ox, shifted=True)
+            x = fft2_shift_pair(x, inverse=True)
         tpad = tile_pad_rows(plan)
         z = jnp.zeros((tpad, p, n, n), x[0].dtype)
         tiles = tuple(
@@ -1871,8 +1886,11 @@ def subgrids_to_grid_ranges(
         # piece kernel instead (measured 58.4 vs 45.8 ms at lofar4096)
         pad = range_pad_rows(plan)
         m_pad = 4 * s + pad
-        x = _phase_roll_fourier(sub, oy, ox, shifted=True)
-        x = fft2_shift_pair(x, inverse=True)
+        if tiles_pair is not None:
+            x = tiles_pair
+        else:
+            x = _phase_roll_fourier(sub, oy, ox, shifted=True)
+            x = fft2_shift_pair(x, inverse=True)
         pre, pim = _mask_pieces(x, oy, ox, pad_rows=pad)
         blocks = _grid_add_ranges(
             (pre.reshape(m_pad, 8, d8), pim.reshape(m_pad, 8, d8)),

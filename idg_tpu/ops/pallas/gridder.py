@@ -662,7 +662,7 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                             poxc_ref, poyc_ref, mcol_ref, npack_ref, sph_ref,
                             *rest,
                             V, N, T, C, w_rank, precisions, batch,
-                            dbuf=False):
+                            dbuf=False, fuse=False):
     """v5's body unrolled over `batch` subgrids per grid step: per-step
     fixed costs (DMA setup, grid bookkeeping) amortize across the batch.
     Each subgrid's Jones terms arrive through its own scalar-prefetch-
@@ -687,8 +687,16 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     two units; with per-parity buffers the chains are independent and
     Mosaic's scheduler can run VPU(b+1) under MXU(b)."""
     at_refs = rest[:4 * batch]
-    out_re_ref, out_im_ref = rest[4 * batch:4 * batch + 2]
-    scr = rest[4 * batch + 2:]
+    pos = 4 * batch
+    if fuse:
+        # fused grid-stage epilogue inputs: per-subgrid roll offsets and
+        # the folded-shift iDFT factors (W^T and the pol-block-diagonal W)
+        oyx_ref, wpt_re_ref, wpt_im_ref, wl4_re_ref, wl4_im_ref = (
+            rest[pos:pos + 5]
+        )
+        pos += 5
+    out_re_ref, out_im_ref = rest[pos:pos + 2]
+    scr = rest[pos + 2:]
     NP = N * P_POLS
     k0 = k_ref[0, 0]
     dk = k_ref[0, 1] - k0 if C > 1 else jnp.float32(0.0)
@@ -778,9 +786,54 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                   for p in range(P_POLS)]
             a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
                   for p in range(P_POLS)]
-            for p, (r_, i_) in enumerate(_epilogue(pix, sph, a1, a2)):
-                out_re_ref[b, p] = r_
-                out_im_ref[b, p] = i_
+            ep = _epilogue(pix, sph, a1, a2)
+            if not fuse:
+                for p, (r_, i_) in enumerate(ep):
+                    out_re_ref[b, p] = r_
+                    out_im_ref[b, p] = i_
+                return
+            # Fused grid-stage epilogue: emit the PHASE-ROLLED iDFT piece
+            # (grid.py:_phase_roll_fourier ∘ fft2_shift_pair(inverse)) —
+            # piece = Wᵀ·diag(phyσ)·tile·diag(phxσ)·W with the fftshifts
+            # folded into W (_dft_shift_factors) and the per-tile roll as
+            # exact integer-mod Fourier phases. Emitting pieces here skips
+            # the XLA producer dots AND their S-minor→row-major relayout
+            # at the grid-add kernel boundary (~12 ms + the pipeline's
+            # ~7 ms stage-boundary transpose at the fullsize problem).
+            pe_re = jnp.concatenate([r_ for r_, _ in ep], axis=1)  # [N, NP]
+            pe_im = jnp.concatenate([i_ for _, i_ in ep], axis=1)
+            oy = oyx_ref[b, 0, 0]
+            ox = oyx_ref[b, 0, 1]
+            two_pi_n = jnp.float32(-2.0 * 3.141592653589793 / N)
+            jrow = lax.broadcasted_iota(jnp.int32, (1, N), 1)
+            sk = (jrow + N // 2) % N
+            ay = two_pi_n * ((sk * oy) % N).astype(jnp.float32)   # [1, N]
+            phy_re, phy_im = jnp.cos(ay), jnp.sin(ay)
+            jcol = lax.broadcasted_iota(jnp.int32, (N * P_POLS, 1), 0)
+            skx = ((jcol % N) + N // 2) % N
+            ax = two_pi_n * ((skx * ox) % N).astype(jnp.float32)  # [NP, 1]
+            phx_re, phx_im = jnp.cos(ax), jnp.sin(ax)
+            wpt_re, wpt_im = wpt_re_ref[...], wpt_im_ref[...]
+            a_re = wpt_re * phy_re - wpt_im * phy_im              # [N, N]
+            a_im = wpt_re * phy_im + wpt_im * phy_re
+            b4_re = wl4_re_ref[...] * phx_re - wl4_im_ref[...] * phx_im
+            b4_im = wl4_re_ref[...] * phx_im + wl4_im_ref[...] * phx_re
+            # stacked complex dots: [A_re; A_im]·P gives all four real
+            # products in two dots per operand pair (K = N packs hi/lo
+            # on the contraction axis via 3x2k; stage 2 has K = NP)
+            a2m = jnp.concatenate([a_re, a_im], axis=0)           # [2N, N]
+            t1 = _dot_mixed(a2m, pe_re, "3x2k")
+            t2 = _dot_mixed(a2m, pe_im, "3x2k")
+            tmp_re = t1[0:N] - t2[N:2 * N]
+            tmp_im = t2[0:N] + t1[N:2 * N]
+            t2m = jnp.concatenate([tmp_re, tmp_im], axis=0)       # [2N, NP]
+            u1 = _dot_mixed(t2m, b4_re, "3x")
+            u2 = _dot_mixed(t2m, b4_im, "3x")
+            o_re = u1[0:N] - u2[N:2 * N]
+            o_im = u2[0:N] + u1[N:2 * N]
+            for p in range(P_POLS):
+                out_re_ref[b, p] = o_re[:, p * N:(p + 1) * N]
+                out_im_ref[b, p] = o_im[:, p * N:(p + 1) * N]
 
         if dbuf:
             # one-deep software pipeline: emit finish(b-1) only after
@@ -797,7 +850,8 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
 
 
 def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
-                                 batch: int = 4, dbuf: bool = False):
+                                 batch: int = 4, dbuf: bool = False,
+                                 fuse_oyx=None):
     import dataclasses as _dc
 
     from .common import _PER_SUBGRID_FIELDS
@@ -820,9 +874,10 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
     npack = jnp.tile(stg.n_yx, (1, P_POLS))
     if interpret is None:
         interpret = use_interpret()
+    fuse = fuse_oyx is not None
     kernel = functools.partial(
         _kernel_sep_recur_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
-        precisions=precisions, batch=batch, dbuf=dbuf,
+        precisions=precisions, batch=batch, dbuf=dbuf, fuse=fuse,
     )
     B = batch
 
@@ -841,6 +896,42 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         at_specs += [at_spec(1, b), at_spec(1, b), at_spec(2, b), at_spec(2, b)]
         at_inputs += [stg.at_re, stg.at_im, stg.at_re, stg.at_im]
 
+    fuse_specs = []
+    fuse_inputs = []
+    if fuse:
+        import numpy as _np
+
+        from ..grid import _dft_shift_factors
+
+        w_re, w_im = _dft_shift_factors(N, inverse=True)
+        wl4_re = _np.zeros((N * P_POLS, N * P_POLS), _np.float32)
+        wl4_im = _np.zeros_like(wl4_re)
+        for p in range(P_POLS):
+            wl4_re[p * N:(p + 1) * N, p * N:(p + 1) * N] = w_re
+            wl4_im[p * N:(p + 1) * N, p * N:(p + 1) * N] = w_im
+        oyx = jnp.asarray(fuse_oyx, jnp.int32).reshape(-1, 1, 2)
+        if oyx.shape[0] != s_pad:
+            oyx = jnp.pad(oyx, ((0, s_pad - oyx.shape[0]), (0, 0), (0, 0)))
+        fuse_specs = [
+            pl.BlockSpec((B, 1, 2), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, N), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N * P_POLS, N * P_POLS), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N * P_POLS, N * P_POLS), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        fuse_inputs = [
+            oyx,
+            jnp.asarray(_np.ascontiguousarray(w_re.T)),
+            jnp.asarray(_np.ascontiguousarray(w_im.T)),
+            jnp.asarray(wl4_re),
+            jnp.asarray(wl4_im),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s_pad // B,),
@@ -855,7 +946,7 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
             pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N * P_POLS), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        ] + at_specs,
+        ] + at_specs + fuse_specs,
         out_specs=(
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -880,7 +971,7 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         stg.aterm_index, stg.station1, stg.station2,
         stg.uvw_rows, stg.mu_row_cm, stg.vis_re_pv_cm, stg.vis_im_pv_cm,
         stg.wavenumbers, stg.po_x_col, stg.po_y_col, stg.mcol, npack, stg.sph,
-        *at_inputs,
+        *at_inputs, *fuse_inputs,
     )
     return re[:S], im[:S]
 
@@ -905,6 +996,27 @@ def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
     return _gridder_sep_recur_batch_run(
         params, stg, w_rank, precisions or gridder_precisions(w_rank),
         interpret, batch, dbuf,
+    )
+
+
+def gridder_pallas_v6_pieces(params, stg, oyx, interpret=None,
+                             w_rank: int = 2, batch: int = 4,
+                             precisions=None):
+    """v6 with the grid-stage producer fused into the kernel epilogue:
+    returns phase-rolled iDFT PIECES ([S, P, N, N] row-major) ready for
+    the range grid-add kernel (subgrids_to_grid_ranges(tiles_pair=...))
+    instead of uv-domain subgrids. `oyx` is the [S, 2] int32 per-subgrid
+    roll (coord_y % N, coord_x % N) from the block-sorted metadata.
+
+    This moves the pipeline's XLA producer (phase multiply + two iDFT
+    matmul passes) onto the MXU inside the kernel — 10 extra small
+    passes/subgrid (~6% of the main dots) — and, because the pieces
+    leave the kernel row-major, skips both the producer's S-minor →
+    row-major relayout and the pipeline's explicit S-minor boundary
+    transpose."""
+    return _gridder_sep_recur_batch_run(
+        params, stg, w_rank, precisions or gridder_precisions(w_rank),
+        interpret, batch, fuse_oyx=oyx,
     )
 
 

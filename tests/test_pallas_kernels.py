@@ -318,3 +318,73 @@ def test_w_rank3_improves_on_larger_w(small_params, small_obs):
         got = combine_complex(np.asarray(re), np.asarray(im))
         errs[rank] = check_error(got, golden, verbose=False).mean_error
     assert errs[3] <= errs[2]
+
+
+def test_gridder_fused_pieces_matches_producer():
+    """The fused grid-stage epilogue (gridder_pallas_v6_pieces: roll
+    phases + folded-shift iDFT on the MXU inside the kernel) reproduces
+    the XLA producer (_phase_roll_fourier + fft2_shift_pair) on the
+    standard kernel's subgrids, and the composed grid via tiles_pair=
+    matches the standard ranges grid — on BOTH dispatch branches (tile
+    path nbp <= 2s and the sparse masked-piece path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.ops.grid import (_phase_roll_fourier, fft2_shift_pair,
+                                  plan_grid_add_ranges,
+                                  sort_observation_blocks,
+                                  subgrids_to_grid_ranges)
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.ops.pallas.gridder import gridder_pallas_v6_pieces
+    from idg_tpu.types import split_observation
+
+    cases = [
+        # tile path: S = 40 >= nbp/2 = 32
+        IDGParams(grid_size=128, subgrid_size=16, nr_stations=5,
+                  nr_timeslots=4, nr_timesteps_subgrid=16, nr_channels=8),
+        # sparse path: S = 6 < 32
+        IDGParams(grid_size=128, subgrid_size=16, nr_stations=3,
+                  nr_timeslots=2, nr_timesteps_subgrid=16, nr_channels=8),
+    ]
+    for params in cases:
+        g, n = params.grid_size, params.subgrid_size
+        obs, _ = make_observation(params)
+        obs, _ = sort_observation_blocks(obs, g, n)
+        sobs = split_observation(obs)
+        stage_fn, run_fn = STAGED[("gridder", "pallas_v6")]
+        stg = jax.jit(
+            lambda p, s: stage_fn(p, s, with_vis=True), static_argnums=0
+        )(params, sobs)
+        sub = run_fn(params, stg)
+
+        md = obs.metadata
+        cy = np.asarray(md.coord_y).astype(np.int64) % g
+        cx = np.asarray(md.coord_x).astype(np.int64) % g
+        oy, ox = (cy % n).astype(np.int32), (cx % n).astype(np.int32)
+        expected = fft2_shift_pair(
+            _phase_roll_fourier(sub, jnp.asarray(oy), jnp.asarray(ox),
+                                shifted=True),
+            inverse=True,
+        )
+        oyx = np.stack([oy, ox], axis=-1)
+        got = gridder_pallas_v6_pieces(params, stg, oyx)
+        scale = max(float(np.abs(np.asarray(expected[0])).max()), 1.0)
+        sparse = plan_grid_add_ranges(cx, cy, g, n).nbp > 2 * cx.shape[0]
+        for i in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(got[i]) / scale, np.asarray(expected[i]) / scale,
+                atol=6e-6, err_msg=f"pieces sparse={sparse} comp={i}",
+            )
+
+        a = subgrids_to_grid_ranges(sub, md.coord_x, md.coord_y, g,
+                                    apply_fft=True, interpret=True)
+        b = subgrids_to_grid_ranges(None, md.coord_x, md.coord_y, g,
+                                    apply_fft=True, interpret=True,
+                                    tiles_pair=got)
+        gscale = max(float(np.abs(np.asarray(a[0])).max()), 1.0)
+        for i in (0, 1):
+            np.testing.assert_allclose(
+                np.asarray(b[i]) / gscale, np.asarray(a[i]) / gscale,
+                atol=1e-5, err_msg=f"grid sparse={sparse} comp={i}",
+            )
