@@ -452,7 +452,10 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
 
     Returns (fn, args, resolved_version), or (None, None, version) when
     the resolved version has no fused-pieces form (only the v6/v7 batch
-    kernel carries the fused epilogue)."""
+    kernel carries the fused epilogue), or when the range-kernel row
+    size P·N² is not a multiple of 1024 (subgrids_to_grid_ranges(
+    tiles_pair=...) rejects such shapes; the caller's non-fused path
+    falls back to the bucketed scatter instead)."""
     import jax.numpy as jnp
 
     from .pallas import STAGED
@@ -460,6 +463,8 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
 
     version, w_rank = _resolve("gridder", version, params, obs, w_rank)
     if version not in ("pallas_v6", "pallas_v7"):
+        return None, None, version
+    if (params.nr_correlations * params.subgrid_size ** 2) % 1024:
         return None, None, version
     if w_rank is None and version == "pallas_v7":
         w_rank = 1
@@ -479,7 +484,12 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
     oyx_dev = jax.device_put(jnp.asarray(np.asarray(oyx), jnp.int32))
     # row-major outputs + AOT input-layout matching, exactly as
     # staged_runner's gridder path (the range kernel reads the pieces
-    # row-major; mismatched layouts re-insert per-launch relayouts)
+    # row-major; mismatched layouts re-insert per-launch relayouts).
+    # IDG_STAGE_LAYOUT=off skips the AOT match for layout A/Bs — the
+    # same policy knob staged_runner honors ('rowmajor' makes no sense
+    # here: the pieces output IS the row-major product, inputs stay on
+    # whatever the run executable prefers).
+    stage_mode = os.environ.get("IDG_STAGE_LAYOUT", "match").lower()
     try:
         fmt = _rowmajor_formats(
             jax.ShapeDtypeStruct((1, 1, 1, 1), np.float32)
@@ -488,6 +498,8 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
                           out_shardings=(fmt, fmt))
     except Exception:
         run_jit = jax.jit(run_fn, static_argnums=0)
+    if stage_mode == "off":
+        return run_jit, (params, stg, oyx_dev), version
     try:
         compiled = run_jit.lower(params, stg, oyx_dev).compile()
         in_fmt = compiled.input_formats[0]
@@ -496,7 +508,10 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
         jax.block_until_ready(jax.tree_util.tree_leaves((stg, oyx_dev)))
         return (lambda p, st, o: compiled(st, o)), (params, stg, oyx_dev), \
             version
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — downgrade, but say so
+        print(f"[idg-tpu] pieces runner: AOT layout-matched dispatch "
+              f"unavailable ({type(e).__name__}); falling back to plain "
+              f"jit — measured numbers may include relayout copies")
         return run_jit, (params, stg, oyx_dev), version
 
 

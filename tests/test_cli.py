@@ -184,6 +184,37 @@ def test_cli_pipeline_both_directions(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_pipeline_fused_default(tmp_path):
+    """The grid-direction pipeline defaults to the fused-pieces kernel
+    for pallas versions (SUBGRID_SIZE=16 satisfies the range-kernel
+    P·N² % 1024 == 0 constraint); --no-fuse keeps the staged producer
+    path. Both must produce a CSV through the cmd_pipeline wiring."""
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["pipeline", "--version", "pallas_v6"], extra_env=env,
+                timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert "stage split" in proc.stdout
+    assert list(tmp_path.glob("*pipeline_pallas_v6-tpu.csv"))
+    proc = _run(["pipeline", "--version", "pallas_v6", "--no-fuse",
+                 "--suffix", "_nofuse"], extra_env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*pipeline_pallas_v6_nofuse-tpu.csv"))
+
+
+@pytest.mark.slow
+def test_cli_pipeline_fused_odd_rowsize_falls_back(tmp_path):
+    """SUBGRID_SIZE=12 → P·N² = 576, not a multiple of 1024: the pieces
+    runner must decline (returning the staged_runner fallback) instead
+    of crashing in subgrids_to_grid_ranges(tiles_pair=...)."""
+    env = dict(SMALL_ENV, GRID_SIZE="96", SUBGRID_SIZE="12",
+               OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["pipeline", "--version", "pallas_v6"], extra_env=env,
+                timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*pipeline_pallas_v6-tpu.csv"))
+
+
+@pytest.mark.slow
 def test_cli_pipeline_degrid_chunked(tmp_path):
     """IDG_MAX_CHUNK below S engages the per-chunk extraction→degridder
     composition (sliced plans, one consumer per chunk)."""
