@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark: gridder throughput on one TPU chip.
+"""Headline benchmark: gridder + degridder throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline anchor = the reference's only published gridder number: CUDA
-gridder_reference on a Tesla V100 at default perf parameters, 42.93 MVis/s
-(BASELINE.md; res/gridder/Tesla_V100-PCIE-32GB-gridder_reference-cuda.csv).
+Prints ONE JSON line. The headline metric/value stays the GRIDDER for
+series continuity with BENCH_r01-r04; the degridder (the adjoint
+workload, the reference's second benchmarked executable) rides the same
+line as degridder_* fields. Baseline anchors = the reference's published
+V100 numbers: CUDA gridder_reference 42.93 MVis/s, degridder_reference
+28.04 MVis/s (BASELINE.md; res/{gridder,degridder}/Tesla_V100-*-cuda.csv).
 
 Env knobs: BENCH_KERNEL (registry version; default = fastest available),
 NR_ITERATIONS / NR_WARM_UP_RUNS, and the reference's problem-size vars
@@ -28,6 +30,9 @@ import subprocess
 import sys
 
 V100_GRIDDER_REFERENCE_MVIS_S = 42.93
+# same visibility count (50.19 MVis) over the degridder_reference runtime
+# (1790.51 ms, res/degridder/Tesla_V100-PCIE-32GB-degridder_reference-cuda.csv)
+V100_DEGRIDDER_REFERENCE_MVIS_S = 28.03
 
 
 def _preflight() -> None:
@@ -53,15 +58,53 @@ def _preflight() -> None:
           file=sys.stderr)
 
 
-def _run_candidate(candidate: str, params, obs, harness, w_rank):
+def _run_candidate(candidate: str, params, obs, harness, w_rank,
+                   workload: str = "gridder", subgrids=None):
     from idg_tpu.ops.api import staged_runner
     from idg_tpu.utils.timing import time_kernel
 
     fn, args = staged_runner(
-        "gridder", candidate, params, obs,
+        workload, candidate, params, obs, subgrids=subgrids,
         w_rank=int(w_rank) if w_rank else None,
     )
     return time_kernel(fn, *args, harness=harness)
+
+
+def _bench_degridder(params, obs, harness, mvis):
+    """Time the fastest available degridder; return the JSON fields, or
+    {} if every candidate fails (the gridder headline still prints)."""
+    from idg_tpu.data import initialize_subgrids
+    from idg_tpu.ops.registry import list_kernels
+
+    preference = ("pallas_v7", "pallas_v6", "pallas_v5", "xla_v4")
+    env_version = os.environ.get("BENCH_DEGRIDDER_KERNEL")
+    registered = [e.version for e in list_kernels("degridder")]
+    candidates = (
+        [env_version] if env_version
+        else [v for v in preference if v in registered]
+    )
+    subgrids = initialize_subgrids(
+        params.nr_subgrids, params.nr_correlations, params.subgrid_size
+    )
+    w_rank = os.environ.get("BENCH_W_RANK")
+    for candidate in candidates:
+        try:
+            timing = _run_candidate(candidate, params, obs, harness, w_rank,
+                                    workload="degridder", subgrids=subgrids)
+        except Exception as exc:
+            print(f"bench: degridder {candidate} failed ({exc})",
+                  file=sys.stderr)
+            continue
+        mvis_per_s = mvis / timing.seconds
+        return {
+            "degridder_metric": f"degridder_{candidate}_throughput",
+            "degridder_value": round(mvis_per_s, 2),
+            "degridder_unit": "MVis/s",
+            "degridder_vs_baseline": round(
+                mvis_per_s / V100_DEGRIDDER_REFERENCE_MVIS_S, 3
+            ),
+        }
+    return {}
 
 
 def main() -> None:
@@ -132,18 +175,16 @@ def main() -> None:
     _, _, mvis = workload_costs(params)
     mvis_per_s = mvis / timing.seconds
 
-    print(
-        json.dumps(
-            {
-                "metric": f"gridder_{version}_throughput",
-                "value": round(mvis_per_s, 2),
-                "unit": "MVis/s",
-                "vs_baseline": round(
-                    mvis_per_s / V100_GRIDDER_REFERENCE_MVIS_S, 3
-                ),
-            }
-        )
-    )
+    line = {
+        "metric": f"gridder_{version}_throughput",
+        "value": round(mvis_per_s, 2),
+        "unit": "MVis/s",
+        "vs_baseline": round(
+            mvis_per_s / V100_GRIDDER_REFERENCE_MVIS_S, 3
+        ),
+    }
+    line.update(_bench_degridder(params, obs, harness, mvis))
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
