@@ -46,7 +46,8 @@ def _honor_platform_env() -> None:
 
 def _perf_one(workload: str, version: str, mesh_size: int | None,
               w_rank: int | None = None, params=None,
-              name_suffix: str = "", w_obs: bool = False) -> float:
+              name_suffix: str = "", w_obs: bool = False,
+              sustain_s: float | None = None) -> float:
     """Performance mode (p_run_gridder_ semantics, app/CUDA/util.cpp:172-249).
 
     Returns the min-of-windows seconds per launch (see utils/timing.py:
@@ -153,12 +154,33 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
     from .utils.roofline import roofline_fraction
 
     roofline = roofline_fraction(gflops / timing.seconds, gflops, gbytes, dev)
+    extra = None
+    if sustain_s:
+        # sustained-launch window (the reference's ~10 s energy-loop
+        # semantics, app/CUDA/util.cpp:131-155, minus the power read —
+        # TPU power is not host-readable): reports the SUSTAINED
+        # per-launch time and the intra-window drift, a thermal/queue
+        # check on the min-of-windows headline above.
+        from .utils.timing import time_kernel_sustained
+
+        sus = time_kernel_sustained(fn, *args, duration_s=sustain_s,
+                                    harness=harness)
+        print(f"    sustained {sus.window_seconds:.1f}s window: "
+              f"{sus.seconds*1e3:.2f} ms/launch over {sus.launches} "
+              f"launches (min-of-windows {timing.seconds*1e3:.2f} ms, "
+              f"drift {sus.drift_pct:+.1f}%)")
+        extra = {
+            "sustained_ms": sus.seconds * 1e3,
+            "sustain_launches": sus.launches,
+            "sustain_window_s": sus.window_seconds,
+            "sustain_drift_pct": sus.drift_pct,
+        }
     report(name, timing.seconds, gflops, gbytes, mvis, roofline=roofline,
            seconds_std=timing.seconds_std)
     report_csv(
         name, dev, CSV_EXT, timing.seconds, gflops, gbytes, mvis,
         output_path=harness.output_path, roofline=roofline,
-        seconds_std=timing.seconds_std,
+        seconds_std=timing.seconds_std, extra=extra,
     )
     return timing.seconds
 
@@ -196,7 +218,8 @@ def _check_one(workload: str, version: str) -> bool:
 def cmd_run(args) -> int:
     if args.mode == "perf":
         _perf_one(args.workload, args.version, args.mesh, args.w_rank,
-                  w_obs=args.w_obs, name_suffix=args.suffix)
+                  w_obs=args.w_obs, name_suffix=args.suffix,
+                  sustain_s=args.sustain)
         return 0
     if args.mesh:
         print("warning: --mesh is a perf-mode option; check mode validates "
@@ -912,6 +935,11 @@ def main(argv=None) -> int:
     p_run.add_argument("--suffix", default="",
                        help="perf: extra CSV/report name suffix (e.g. "
                             "_lofar4096 for non-default problem sizes)")
+    p_run.add_argument("--sustain", type=float, default=None, metavar="S",
+                       help="perf: also run a sustained ~S-second launch "
+                            "window (the reference's energy-loop "
+                            "semantics) and record sustained ms/launch + "
+                            "drift in the CSV")
     p_run.set_defaults(fn=cmd_run)
 
     p_sweep = sub.add_parser("sweep", help="run many kernels (run_perf_*.sh analogue)")

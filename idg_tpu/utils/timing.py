@@ -132,3 +132,75 @@ def time_kernel(
         all_seconds=tuple(windows),
         sync_overhead=sync_overhead,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class SustainedResult:
+    seconds: float        # sustained per-launch seconds (total / launches)
+    launches: int         # launches completed inside the window
+    window_seconds: float # actual wall time of the sustained window
+    chunk_seconds: tuple  # per-chunk wall times (drift/throttle signal)
+
+    @property
+    def drift_pct(self) -> float:
+        """Last-chunk vs first-chunk per-launch drift in percent — a
+        positive value means launches got SLOWER as the window ran
+        (thermal throttle / queue backpressure signature)."""
+        c = self.chunk_seconds
+        if len(c) < 2 or c[0] <= 0:
+            return 0.0
+        return float(100.0 * (c[-1] - c[0]) / c[0])
+
+
+def time_kernel_sustained(
+    fn: Callable,
+    *args,
+    duration_s: float = 10.0,
+    harness: Optional[HarnessConfig] = None,
+) -> SustainedResult:
+    """Sustained launch window: launch `fn` back-to-back for ~`duration_s`
+    seconds and report the SUSTAINED per-launch time (total / launches).
+
+    This is the TPU analogue of the reference's energy-measurement loop,
+    which keeps the kernel running for ~10 s while sampling power twice
+    (app/CUDA/util.cpp:131-155, `update_timing` + p_run loops). TPU power
+    is not host-readable (the CSVs carry `W,n/a` provenance), but the
+    sustained window itself is still meaningful on its own: it exposes
+    thermal/clock and queue-backpressure effects that the min-of-windows
+    headline (`time_kernel`) hides by construction. The window is split
+    into chunks sized by the calibrated `time_kernel` estimate so the
+    per-chunk series doubles as a drift/throttle signal (`drift_pct`).
+    """
+    cfg = harness or HarnessConfig.from_env()
+    _force(fn(*args))                       # compile excluded
+    for _ in range(cfg.nr_warm_up_runs):
+        fn(*args)
+    out = fn(*args)
+    _force(out)
+
+    # Size chunks at ~duration/20 using a quick single-launch estimate so
+    # each chunk is long enough to amortize the sync fetch (≥10 launches)
+    # but short enough to resolve drift across the window.
+    t0 = time.perf_counter()
+    _force(fn(*args))
+    est = max(time.perf_counter() - t0, 1e-6)
+    chunk_iters = max(10, int(duration_s / 20.0 / est))
+
+    chunks = []
+    launches = 0
+    start = time.perf_counter()
+    while time.perf_counter() - start < duration_s:
+        c0 = time.perf_counter()
+        o = None
+        for _ in range(chunk_iters):
+            o = fn(*args)
+        _force(o)
+        chunks.append((time.perf_counter() - c0) / chunk_iters)
+        launches += chunk_iters
+    total = time.perf_counter() - start
+    return SustainedResult(
+        seconds=total / max(launches, 1),
+        launches=launches,
+        window_seconds=total,
+        chunk_seconds=tuple(chunks),
+    )

@@ -183,6 +183,18 @@ def test_cli_pipeline_both_directions(tmp_path):
     assert list(tmp_path.glob("*pipeline_degrid_pallas_*-tpu.csv"))
 
 
+def test_cli_run_sustain(tmp_path):
+    """--sustain S runs the sustained launch window (reference energy-loop
+    semantics) and records sustained_ms + drift in the CSV."""
+    env = dict(SMALL_ENV, OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["run", "--workload", "gridder", "--version", "xla_v2",
+                 "--sustain", "0.3"], extra_env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert "sustained" in proc.stdout
+    csv = next(tmp_path.glob("*gridder_xla_v2-tpu.csv")).read_text()
+    assert "sustained_ms" in csv and "sustain_drift_pct" in csv
+
+
 @pytest.mark.slow
 def test_cli_pipeline_fused_default(tmp_path):
     """The grid-direction pipeline defaults to the fused-pieces kernel

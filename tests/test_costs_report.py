@@ -129,3 +129,32 @@ def test_report_csv_stddev_row(tmp_path):
         line.split(",") for line in open(path).read().strip().splitlines()
     )
     assert "ms_stddev" in metrics and float(metrics["ms_stddev"]) == 0.1
+
+
+def test_time_kernel_sustained():
+    """Sustained window (the reference's ~10 s energy-loop semantics,
+    app/CUDA/util.cpp:131-155): per-launch estimate within sanity bounds,
+    launch count consistent with the window, drift_pct well-defined."""
+    import jax
+    import jax.numpy as jnp
+
+    from idg_tpu.config import HarnessConfig
+    from idg_tpu.utils.timing import SustainedResult, time_kernel_sustained
+
+    fn = jax.jit(lambda x: x * 2.0 + 1.0)
+    x = jnp.arange(1024.0)
+    h = HarnessConfig(nr_warm_up_runs=1, nr_iterations=2)
+    res = time_kernel_sustained(fn, x, duration_s=0.3, harness=h)
+    assert res.launches >= 10
+    assert res.window_seconds >= 0.3
+    assert 0 < res.seconds < res.window_seconds
+    assert abs(res.seconds * res.launches - res.window_seconds) \
+        < 0.5 * res.window_seconds
+    assert isinstance(res.drift_pct, float)
+
+    flat = SustainedResult(seconds=1e-3, launches=100, window_seconds=0.1,
+                           chunk_seconds=(1e-3, 1.2e-3))
+    assert abs(flat.drift_pct - 20.0) < 1e-9
+    single = SustainedResult(seconds=1e-3, launches=10, window_seconds=0.01,
+                             chunk_seconds=(1e-3,))
+    assert single.drift_pct == 0.0
