@@ -76,6 +76,13 @@ def time_kernel(
     mean — round-2+ min-of-windows numbers are slightly lower on noisy
     runs by construction."""
     cfg = harness or HarnessConfig.from_env()
+    if profile_dir is None:
+        # env hook so any CLI perf run can be traced without plumbing a
+        # flag through every driver (used by the MXU-utilization
+        # extraction, scripts/xplane_tools.py --mxu)
+        import os
+
+        profile_dir = os.environ.get("IDG_PROFILE_DIR") or None
 
     # Compile (and constant transfers) excluded from timing.
     _force(fn(*args))
