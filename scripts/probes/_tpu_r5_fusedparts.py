@@ -50,9 +50,11 @@ def main() -> int:
     gfn_t = jax.jit(lambda t: subgrids_to_grid_ranges(
         None, cx, cy, g, apply_fft=True, plan=plan, tiles_pair=t))
 
-    # pieces kernel alone (leading-axis slim to bound queue buffers)
-    pslim = jax.jit(lambda *a: tuple(v[:1] for v in pfn(*a)))
-    t = time_kernel(pslim, *pargs, harness=harness)
+    # pieces kernel alone (full outputs; the serialized device queue
+    # frees each launch's pieces as the next dequeues — transient, not
+    # cumulative, unlike the window-buffer OOM the slim trick solves for
+    # jit-dispatched kernels)
+    t = time_kernel(pfn, *pargs, harness=harness)
     print(f"pieces alone   {t.seconds*1e3:8.2f} ms (±{t.seconds_std*1e3:.2f})")
 
     # range kernel alone on materialized pieces
