@@ -593,7 +593,26 @@ def cmd_pipeline(args) -> int:
             eplan, params.nr_correlations, g, n
         )
         consumers = None
-        if ranges_ok and not args.whole_extract:
+        fused = False
+        if ranges_ok and not args.whole_extract and not args.no_fuse:
+            # fused-pieces path (degrid mirror of the gridder default):
+            # the extraction emits block-rolled pieces and the degridder
+            # kernel's prologue does the forward DFT + roll-back on the
+            # MXU — no XLA producer dots at the stage boundary
+            from .ops.api import staged_degridder_pieces_chunk_consumers
+
+            oyx_d = np.stack([
+                (np.asarray(md.coord_y).astype(np.int64) % g % n),
+                (np.asarray(md.coord_x).astype(np.int64) % g % n),
+            ], axis=-1)
+            fcons, fbounds, rversion = \
+                staged_degridder_pieces_chunk_consumers(
+                    params, obs, version, oyx_d, w_rank=args.w_rank,
+                    align=eplan.wc,
+                )
+            if fcons is not None:
+                consumers, bounds, fused = fcons, fbounds, True
+        if consumers is None and ranges_ok and not args.whole_extract:
             consumers, bounds, rversion = staged_degridder_chunk_consumers(
                 params, obs, version, w_rank=args.w_rank, align=eplan.wc
             )
@@ -615,7 +634,8 @@ def cmd_pipeline(args) -> int:
                     eplan.nby, eplan.nbx, mc, g, n,
                 )
                 return grid_to_subgrids_ranges(
-                    gr, cx_c, cy_c, n, apply_fft=True, plan=sp
+                    gr, cx_c, cy_c, n, apply_fft=True, plan=sp,
+                    pieces=fused,
                 )
 
             efn_one = jax.jit(eshim)
@@ -648,7 +668,7 @@ def cmd_pipeline(args) -> int:
                     params, obs, version, w_rank=args.w_rank
                 )
             efn = jax.jit(lambda gr: grid_to_subgrids_ranges(
-                gr, cx, cy, n, apply_fft=True, plan=eplan))
+                gr, cx, cy, n, apply_fft=True, plan=eplan, pieces=fused))
 
             def grid_stage(gr):
                 # leading-axis output slice (probe5: keeps kernel speed,

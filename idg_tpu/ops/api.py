@@ -366,7 +366,35 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
             return run_jit, (params, stg)
         s = stg.uvw.shape[0]
         if s <= MAX_CHUNK:
-            return run_jit, (params, stg, _pin_rowmajor(sub_pair))
+            # Single-chunk degridder (e.g. LOFAR-4096, S=7020): mirror the
+            # fullsize chunked path's methodology — leading-axis-slimmed
+            # outputs (full kernel work, small queue buffers) — and the
+            # gridder's `match` AOT dispatch so the staged arrays and the
+            # subgrid input sit in the executable's own preferred layouts
+            # (zero per-launch relayout copies by construction). Round-4
+            # LOFAR degridder ran 2.77 µs/subgrid vs 2.06 fullsize through
+            # the unmatched plain-jit dispatch here.
+            sub_pinned = _pin_rowmajor(sub_pair)
+
+            def _slim1(p, stg_c, sub_c):
+                out = run_fn(p, stg_c, sub_c)
+                return jax.tree_util.tree_map(lambda x: x[:1], out)
+
+            run_slim = jax.jit(_slim1, static_argnums=0)
+            if stage_mode == "match":
+                try:
+                    compiled = run_slim.lower(params, stg, sub_pinned).compile()
+                    in_fmt = compiled.input_formats[0]
+                    stg = jax.device_put(stg, in_fmt[0])
+                    sub_pinned = jax.device_put(sub_pinned, in_fmt[1])
+                    jax.block_until_ready(
+                        jax.tree_util.tree_leaves((stg, sub_pinned))
+                    )
+                    return (lambda p, st, sb: compiled(st, sb)), \
+                        (params, stg, sub_pinned)
+                except Exception:
+                    pass  # platform without AOT/layout support: plain jit
+            return run_slim, (params, stg, sub_pinned)
         # Very large batches: chunk OUTSIDE jit — one single-kernel module
         # per chunk shape (multi-kernel / oversize modules crash the remote
         # AOT compile helper on the tunneled platform). The batch is padded
@@ -666,3 +694,50 @@ def staged_degridder_chunk_consumers(params: IDGParams, obs: Observation,
     ]
     bounds = [(lo, lo + chunk) for lo in starts]
     return consumers, bounds, version
+
+
+def staged_degridder_pieces_chunk_consumers(params: IDGParams,
+                                            obs: Observation,
+                                            version: str = "pallas_v7",
+                                            oyx=None, w_rank=None,
+                                            align: int = 1):
+    """Fused duals of staged_degridder_chunk_consumers: each consumer
+    takes the range extraction's block-rolled PIECES ([rows, P, N, N]
+    row-major, grid_to_subgrids_ranges(pieces=True)) and runs the
+    forward DFT + roll-back INSIDE the degridder kernel
+    (degridder_pallas_v7/v8 fused prologue) — no XLA producer dots and
+    no subgrid intermediate at the stage boundary, the degrid mirror of
+    staged_gridder_pieces_runner. `oyx` is the full-S [S, 2] int32
+    per-subgrid roll (coord_y % G % N, coord_x % G % N) from the
+    block-sorted metadata; the tail chunk's rows are padded with the
+    last entry, matching the CLI's repeat-last-coord extraction padding.
+    Returns (None, None, resolved_version) when the resolved kernel has
+    no fused prologue (non-polstack rungs) so callers can fall back to
+    the producer path."""
+    version_r, w_rank_r = _resolve("degridder", version, params, obs, w_rank)
+    if version_r not in ("pallas_v7", "pallas_v8"):
+        return None, None, version_r
+    run_fn, chunks, starts, chunk, version_r = _degridder_staged_chunks(
+        params, obs, version_r, w_rank_r, align
+    )
+    oyx_full = np.asarray(oyx, np.int32).reshape(-1, 2)
+    need = starts[-1] + chunk
+    if need > oyx_full.shape[0]:
+        pad = need - oyx_full.shape[0]
+        oyx_full = np.concatenate(
+            [oyx_full, np.repeat(oyx_full[-1:], pad, axis=0)]
+        )
+    run = jax.jit(
+        lambda p, st, pieces, oyx_c: _slim(
+            run_fn(p, st, pieces, fuse_oyx=oyx_c)
+        ),
+        static_argnums=0,
+    )
+    bounds = [(lo, lo + chunk) for lo in starts]
+    consumers = []
+    for st, (lo, hi) in zip(chunks, bounds):
+        oyx_c = jax.device_put(oyx_full[lo:hi])
+        consumers.append(
+            lambda pieces, st=st, oyx_c=oyx_c: run(params, st, pieces, oyx_c)
+        )
+    return consumers, bounds, version_r

@@ -1290,13 +1290,20 @@ def _grid_extract_ranges(blocks: Pair, plan: GridExtractRangePlan,
 def grid_to_subgrids_ranges(
     grid: Pair, coord_x, coord_y, subgrid_size: int, apply_fft: bool = True,
     interpret=None, plan: GridExtractRangePlan | None = None,
+    pieces: bool = False,
 ) -> Pair:
     """grid_to_subgrids via the range-window Pallas gather
     (_grid_extract_ranges). REQUIRES block-sorted coords; the tile
     roll-back rides the forward DFT as conjugate Fourier phases. Falls
     back to the blocked XLA gather when the plan's window would be
     taller than MAX_EXTRACT_SPAN (sparse block occupancy) or the payload
-    is not lane-divisible."""
+    is not lane-divisible.
+
+    pieces=True returns the block-rolled image-domain PIECES ([S, P, N, N]
+    row-major, BEFORE the forward DFT + roll-back) for a downstream
+    consumer that fuses the DFT into its own kernel (the degridder's
+    fused prologue). Not available on the fallback paths — callers must
+    pre-check extract_ranges_eligible."""
     from .pallas.common import use_interpret
 
     if interpret is None:
@@ -1308,15 +1315,23 @@ def grid_to_subgrids_ranges(
     # block-sorted coords (and works on traced coords), so planning first
     # would raise on inputs the contract promises to fall back on
     if d % 1024:
+        if pieces:
+            raise ValueError("pieces=True requires the range-kernel path "
+                             f"(payload {d} not lane-divisible)")
         return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     if plan is None:
         plan = plan_grid_extract_ranges(coord_x, coord_y, g, n)
     if not extract_ranges_eligible(plan, p, g, n):
+        if pieces:
+            raise ValueError("pieces=True requires the range-kernel path "
+                             "(plan not eligible)")
         return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     s = plan.nr_subgrids
     blocks = _grid_to_blocks_padded(grid, n, plan.k_span)
     rolled = _grid_extract_ranges(blocks, plan, interpret)
     rolled = tuple(v[:s].reshape(s, p, n, n) for v in rolled)
+    if pieces:
+        return rolled
     return _finish_extract(rolled, coord_x, coord_y, g, n, apply_fft)
 
 

@@ -297,3 +297,36 @@ def slice_staged(stg: Staged, lo: int, hi: int) -> Staged:
         if getattr(stg, name) is not None
     }
     return dataclasses.replace(stg, **updates)
+
+
+def fused_dft_factor_inputs(n: int, p_pols: int, inverse: bool):
+    """Host-side constants for the fused grid-stage kernels (gridder
+    epilogue / degridder prologue): the folded-shift DFT factors
+    (grid.py:_dft_shift_factors) pre-split to bf16 hi/lo —
+      stage-1 LHS  [Wᵀre; Wᵀim]            [2n, n]   (hi, lo)
+      stage-2 RHS  pol-block-diagonal W    [p·n, p·n] (hi/lo × re/im)
+    Returns (a2h, a2l, b4hr, b4lr, b4hi, b4li). The roll phases ride on
+    the tile (piece = Wᵀ·diag(phy)·tile·diag(phx)·W and its forward
+    inverse), so these are constant across subgrids and steps."""
+    import numpy as np
+
+    from ..grid import _dft_shift_factors
+
+    w_re, w_im = _dft_shift_factors(n, inverse=inverse)
+    d = n * p_pols
+    wl4_re = np.zeros((d, d), np.float32)
+    wl4_im = np.zeros_like(wl4_re)
+    for p in range(p_pols):
+        wl4_re[p * n:(p + 1) * n, p * n:(p + 1) * n] = w_re
+        wl4_im[p * n:(p + 1) * n, p * n:(p + 1) * n] = w_im
+    a2m = np.concatenate([w_re.T, w_im.T], axis=0).astype(np.float32)
+
+    def _split(x):
+        h = jnp.asarray(x).astype(jnp.bfloat16)
+        return h, (jnp.asarray(x) - h.astype(jnp.float32)).astype(
+            jnp.bfloat16)
+
+    a2h, a2l = _split(a2m)
+    b4hr, b4lr = _split(wl4_re)
+    b4hi, b4li = _split(wl4_im)
+    return a2h, a2l, b4hr, b4lr, b4hi, b4li

@@ -497,12 +497,18 @@ def _chunked(run_one, params, stg, subgrids, *a, **kw):
 
     Chunks are padded to a UNIFORM size so the module contains exactly one
     Mosaic kernel shape — modules with two differently-shaped kernels crash
-    the remote AOT compile helper (S=16400 fails, S=8120 compiles)."""
+    the remote AOT compile helper (S=16400 fails, S=8120 compiles).
+
+    A `fuse_oyx` kwarg (the fused-prologue roll offsets, [S, 2]) is
+    padded and sliced alongside the per-subgrid arrays."""
     import dataclasses as _dc
 
     S = stg.uvw.shape[0]
     if S <= MAX_CHUNK:
         return run_one(params, stg, subgrids, *a, **kw)
+    fuse_oyx = kw.pop("fuse_oyx", None)
+    if fuse_oyx is not None:
+        fuse_oyx = jnp.asarray(fuse_oyx, jnp.int32).reshape(-1, 2)
     n_chunks = -(-S // MAX_CHUNK)
     s_pad = n_chunks * MAX_CHUNK
     if s_pad != S:
@@ -521,10 +527,14 @@ def _chunked(run_one, params, stg, subgrids, *a, **kw):
         subgrids = tuple(
             jnp.pad(s, [(0, pad)] + [(0, 0)] * (s.ndim - 1)) for s in subgrids
         )
+        if fuse_oyx is not None:
+            fuse_oyx = jnp.pad(fuse_oyx, ((0, pad), (0, 0)))
     outs = []
     for lo in range(0, s_pad, MAX_CHUNK):
         hi = lo + MAX_CHUNK
         sub_c = (subgrids[0][lo:hi], subgrids[1][lo:hi])
+        if fuse_oyx is not None:
+            kw["fuse_oyx"] = fuse_oyx[lo:hi]
         outs.append(run_one(params, slice_staged(stg, lo, hi), sub_c, *a, **kw))
     re = jnp.concatenate([o[0] for o in outs], axis=0)
     im = jnp.concatenate([o[1] for o in outs], axis=0)
@@ -890,7 +900,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
                            V, N, T, C, w_rank, precisions, batch, ablate="",
                            cfold=False, qsplit=False, hswap=False,
                            sstore=False, dbuf=False, swpipe=False,
-                           kmerge=0):
+                           kmerge=0, fuse=False):
     """v6's body unrolled over `batch` subgrids per grid step (see
     gridder pallas_v6 for the amortization rationale).
 
@@ -971,12 +981,21 @@ def _kernel_polstack_batch(aidx, st1, st2,
     grouping; kmerge=3 drops one) — gated by the 1e-5 comparator like
     every rung."""
     at_refs = rest[:4 * batch]
+    pos = 4 * batch
+    if fuse:
+        # fused grid-stage prologue inputs: per-subgrid roll offsets and
+        # the folded-shift FORWARD DFT factors, pre-split to bf16 hi/lo
+        # on the host (constants — the roll-back phases apply to the uv
+        # OUTPUT, mirroring _finish_extract's DFT→phase order)
+        (oyx_ref, a2h_ref, a2l_ref,
+         b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref) = rest[pos:pos + 7]
+        pos += 7
     if sstore:
-        out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = rest[4 * batch:]
+        out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = rest[pos:]
         phxr_s = phxi_s = None
     else:
         out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = \
-            rest[4 * batch:]
+            rest[pos:]
         rhs_s = None
     sph = sph_ref[...]
     k0 = k_ref[0, 0]
@@ -984,10 +1003,50 @@ def _kernel_polstack_batch(aidx, st1, st2,
     m_col = mcol_ref[...]
     n_yx = n_ref[...]
 
+    fsubs = None
+    if fuse:
+        # Fused grid-stage prologue: the step's PIECES (block-rolled
+        # image tiles from the range-extract kernel, arriving through
+        # sub_re/im_ref) become uv subgrids here — forward folded-shift
+        # DFT on the MXU through CONSTANT pre-split factors, batched
+        # across the whole step (stage 1: shared [Wfᵀre; Wfᵀim] LHS,
+        # pieces on COLUMNS; stage 2: shared pol-block-diag Wf RHS,
+        # b-blocks restacked on ROWS), then the per-subgrid roll-back
+        # phases elementwise on the uv output (sign=+1, shifted —
+        # exactly _finish_extract's order). Mirrors the gridder's fused
+        # epilogue (gridder.py:_kernel_sep_recur_batch) in reverse.
+        from .gridder import _fused_dft_apply, _roll_phase_outer
+
+        NP = N * P_POLS
+        pcs = [
+            (jnp.concatenate([sub_re_ref[b, p] for p in range(P_POLS)],
+                             axis=1),
+             jnp.concatenate([sub_im_ref[b, p] for p in range(P_POLS)],
+                             axis=1))
+            for b in range(batch)
+        ]
+        outs = _fused_dft_apply(
+            pcs, a2h_ref, a2l_ref,
+            (b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref), N,
+        )
+        fsubs = []
+        for b, (o_re, o_im) in enumerate(outs):
+            ph_re, ph_im = _roll_phase_outer(
+                oyx_ref[b, 0, 0], oyx_ref[b, 0, 1], N, NP, sign=+1.0
+            )
+            fsubs.append((o_re * ph_re - o_im * ph_im,
+                          o_re * ph_im + o_im * ph_re))
+
+    def _sub_tiles(b):
+        if fuse:
+            return [(fsubs[b][0][:, p * N:(p + 1) * N],
+                     fsubs[b][1][:, p * N:(p + 1) * N])
+                    for p in range(P_POLS)]
+        return [(sub_re_ref[b, p], sub_im_ref[b, p]) for p in range(P_POLS)]
+
     if swpipe:
         def _phase_a(b, sb):
-            sub = [(sub_re_ref[b, p], sub_im_ref[b, p])
-                   for p in range(P_POLS)]
+            sub = _sub_tiles(b)
             a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
                   for p in range(P_POLS)]
             a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
@@ -1176,7 +1235,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
 
     for b in range(batch):
         sb = (b % 2) if dbuf else 0     # scratch buffer slot (see `dbuf`)
-        sub = [(sub_re_ref[b, p], sub_im_ref[b, p]) for p in range(P_POLS)]
+        sub = _sub_tiles(b)
         a1 = [(at_refs[4 * b + 0][0, 0, p], at_refs[4 * b + 1][0, 0, p])
               for p in range(P_POLS)]
         a2 = [(at_refs[4 * b + 2][0, 0, p], at_refs[4 * b + 3][0, 0, p])
@@ -1376,7 +1435,8 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
                                   cfold: bool = False, qsplit: bool = False,
                                   hswap: bool = False, sstore: bool = False,
                                   dbuf: bool = False, swpipe: bool = False,
-                                  kmerge: int = 0, raw: bool = False):
+                                  kmerge: int = 0, raw: bool = False,
+                                  fuse_oyx=None):
     import dataclasses as _dc
 
     if kmerge:
@@ -1411,11 +1471,12 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
         )
     if interpret is None:
         interpret = use_interpret()
+    fuse = fuse_oyx is not None
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=B, ablate=ablate, cfold=cfold,
         qsplit=qsplit, hswap=hswap, sstore=sstore, dbuf=dbuf, swpipe=swpipe,
-        kmerge=kmerge,
+        kmerge=kmerge, fuse=fuse,
     )
 
     def at_spec(sel, b):
@@ -1433,6 +1494,11 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
         at_specs += [at_spec(1, b), at_spec(1, b), at_spec(2, b), at_spec(2, b)]
         at_inputs += [stg.at_re, stg.at_im, stg.at_re, stg.at_im]
 
+    from .gridder import _fuse_io
+
+    fuse_specs, fuse_inputs = _fuse_io(fuse, fuse_oyx, s_pad, B, N,
+                                       inverse=False)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s_pad // B,),
@@ -1447,7 +1513,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-        ] + at_specs,
+        ] + at_specs + fuse_specs,
         out_specs=(
             pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P_POLS, V), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1473,7 +1539,7 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
         stg.uvw_rows, stg.mu_row_cm, stg.wavenumbers,
         stg.po_x_col, stg.po_y_col, stg.mcol, stg.n_yx,
         subgrids[0], subgrids[1], stg.sph,
-        *at_inputs,
+        *at_inputs, *fuse_inputs,
     )
     if raw:
         # c-major [S, P, V] rows, untransposed: shard_map bodies
@@ -1511,11 +1577,18 @@ def degridder_pallas_v7_staged(params, stg, subgrids, interpret=None,
                                cfold: bool = True, qsplit: bool = False,
                                hswap: bool = False, sstore: bool = False,
                                dbuf: bool = False, swpipe: bool = False,
-                               kmerge: int = 3, raw: bool = False):
+                               kmerge: int = 3, raw: bool = False,
+                               fuse_oyx=None):
+    """With `fuse_oyx` ([S, 2] roll offsets), `subgrids` are the range
+    extraction's block-rolled PIECES and the kernel runs the fused
+    forward-DFT prologue (see _kernel_polstack_batch `fuse`); cites the
+    reference's degridder ladder top (app/CUDA/kernels/degridder_v6.cu)
+    for the non-fused baseline semantics."""
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, degridder_precisions(w_rank), interpret, batch, "", cfold,
         qsplit, hswap, sstore, dbuf, swpipe, kmerge, raw,
+        fuse_oyx=fuse_oyx,
     )
 
 
@@ -1544,9 +1617,10 @@ def degridder_pallas_v8_staged(params, stg, subgrids, interpret=None,
                                qsplit: bool = False, hswap: bool = False,
                                sstore: bool = False, dbuf: bool = False,
                                swpipe: bool = False, kmerge: int = 3,
-                               raw: bool = False):
+                               raw: bool = False, fuse_oyx=None):
     return _chunked(
         _degridder_polstack_batch_run, params, stg, subgrids,
         w_rank, ("3x2k",), interpret, batch, qsplit=qsplit, hswap=hswap,
         sstore=sstore, dbuf=dbuf, swpipe=swpipe, kmerge=kmerge, raw=raw,
+        fuse_oyx=fuse_oyx,
     )

@@ -106,6 +106,97 @@ def gridder_precisions(w_rank: int):
     return ("3x", "default") if w_rank <= 2 else ("3x",) * w_rank
 
 
+def _fused_dft_apply(pcs, a2h_ref, a2l_ref, b4_refs, N):
+    """Shared MXU core of the fused grid-stage kernel halves: apply the
+    constant pre-split folded-shift DFT factors to a step's per-subgrid
+    [N, NP] tiles (roll phases already on the tile — see
+    common.fused_dft_factor_inputs). Stage 1 contracts tile rows with the
+    shared [Wᵀre; Wᵀim] LHS (K-packed hi/lo, full 4-product quality);
+    stage 2 contracts tile columns with the pol-block-diagonal W RHS
+    (3-product "3x"). When NP is a whole number of 128-lane tiles the
+    stages run BATCHED across the step (tiles on columns, then b-blocks
+    restacked on rows — lane-aligned, no cross-lane movement): 4 large
+    dots per step instead of 4·B small ones. For NP % 128 != 0 the
+    restack would concatenate vregs at mixed lane offsets (Mosaic
+    rejects it), so each subgrid runs its own 4 dots — still with
+    constant factors and tile-side phases."""
+    NP = pcs[0][0].shape[1]
+    batch = len(pcs)
+
+    def _split(x):
+        h = x.astype(jnp.bfloat16)
+        return h, (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def _d(a, b_):
+        return jax.lax.dot_general(
+            a, b_, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    l2 = jnp.concatenate([a2h_ref[...], a2l_ref[...]], axis=1)  # [2N, 2N]
+
+    def dot_k(p_):
+        ph_, pl_ = _split(p_)
+        return _d(l2, jnp.concatenate([ph_, pl_], axis=0)) + \
+            _d(l2, jnp.concatenate([pl_, ph_], axis=0))
+
+    b4hr, b4lr = b4_refs[0][...], b4_refs[1][...]
+    b4hi, b4li = b4_refs[2][...], b4_refs[3][...]
+
+    def stage2(t2m):
+        th, tl = _split(t2m)
+        u1 = _d(th, b4hr) + (_d(th, b4lr) + _d(tl, b4hr))
+        u2 = _d(th, b4hi) + (_d(th, b4li) + _d(tl, b4hi))
+        return u1, u2
+
+    if NP % 128 == 0:
+        pr = jnp.concatenate([r_ for r_, _ in pcs], axis=1)  # [N, B·NP]
+        pi = jnp.concatenate([i_ for _, i_ in pcs], axis=1)
+        t1 = dot_k(pr)                                       # [2N, B·NP]
+        t2 = dot_k(pi)
+        tmp_re = t1[0:N] - t2[N:2 * N]
+        tmp_im = t2[0:N] + t1[N:2 * N]
+        t2m = jnp.concatenate(
+            [jnp.concatenate([tmp_re[:, b * NP:(b + 1) * NP],
+                              tmp_im[:, b * NP:(b + 1) * NP]], axis=0)
+             for b in range(batch)],
+            axis=0,
+        )                                                    # [B·2N, NP]
+        u1, u2 = stage2(t2m)
+        outs = []
+        for b in range(batch):
+            lo = b * 2 * N
+            outs.append((u1[lo:lo + N] - u2[lo + N:lo + 2 * N],
+                         u2[lo:lo + N] + u1[lo + N:lo + 2 * N]))
+        return outs
+
+    outs = []
+    for p_re, p_im in pcs:
+        t1 = dot_k(p_re)
+        t2 = dot_k(p_im)
+        tmp_re = t1[0:N] - t2[N:2 * N]
+        tmp_im = t2[0:N] + t1[N:2 * N]
+        u1, u2 = stage2(jnp.concatenate([tmp_re, tmp_im], axis=0))
+        outs.append((u1[0:N] - u2[N:2 * N], u2[0:N] + u1[N:2 * N]))
+    return outs
+
+
+def _roll_phase_outer(oy, ox, N, NP, sign):
+    """Exact integer-mod roll phases as a complex [N, NP] outer product,
+    evaluated at the fftshifted index (grid.py:_phase_roll_fourier
+    shifted=True semantics; columns cycle per pol block)."""
+    two_pi_n = jnp.float32(sign * 2.0 * 3.141592653589793 / N)
+    irow = lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    sk = (irow + N // 2) % N
+    ay = two_pi_n * ((sk * oy) % N).astype(jnp.float32)   # [N, 1]
+    cy_, sy_ = jnp.cos(ay), jnp.sin(ay)
+    jcol = lax.broadcasted_iota(jnp.int32, (1, NP), 1)
+    skx = ((jcol % N) + N // 2) % N
+    ax = two_pi_n * ((skx * ox) % N).astype(jnp.float32)  # [1, NP]
+    cx_, sx_ = jnp.cos(ax), jnp.sin(ax)
+    return cy_ * cx_ - sy_ * sx_, sy_ * cx_ + cy_ * sx_
+
+
 def _epilogue(pix, sph, a1, a2):
     """Jones correction + taper; pix/a1/a2 are per-pol tile lists (any
     consistent tile shape). Returns corrected per-pol (re, im) tiles."""
@@ -690,11 +781,12 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     pos = 4 * batch
     if fuse:
         # fused grid-stage epilogue inputs: per-subgrid roll offsets and
-        # the folded-shift iDFT factors (W^T and the pol-block-diagonal W)
-        oyx_ref, wpt_re_ref, wpt_im_ref, wl4_re_ref, wl4_im_ref = (
-            rest[pos:pos + 5]
-        )
-        pos += 5
+        # the folded-shift iDFT factors, pre-split to bf16 hi/lo OUTSIDE
+        # the kernel (they are constants — the roll phases ride on the
+        # tile, not the factors, so no per-subgrid factor scaling)
+        (oyx_ref, a2h_ref, a2l_ref,
+         b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref) = rest[pos:pos + 7]
+        pos += 7
     out_re_ref, out_im_ref = rest[pos:pos + 2]
     scr = rest[pos + 2:]
     NP = N * P_POLS
@@ -705,6 +797,7 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     sph = sph_ref[...]
 
     deferred = []
+    pieces = []
     for b in range(batch):
         lhs_s, phxr_s, phxi_s, rhs_s = (
             scr[4 * (b % 2):4 * (b % 2) + 4] if dbuf else scr[:4]
@@ -792,48 +885,20 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                     out_re_ref[b, p] = r_
                     out_im_ref[b, p] = i_
                 return
-            # Fused grid-stage epilogue: emit the PHASE-ROLLED iDFT piece
-            # (grid.py:_phase_roll_fourier ∘ fft2_shift_pair(inverse)) —
-            # piece = Wᵀ·diag(phyσ)·tile·diag(phxσ)·W with the fftshifts
-            # folded into W (_dft_shift_factors) and the per-tile roll as
-            # exact integer-mod Fourier phases. Emitting pieces here skips
-            # the XLA producer dots AND their S-minor→row-major relayout
-            # at the grid-add kernel boundary (~12 ms + the pipeline's
-            # ~7 ms stage-boundary transpose at the fullsize problem).
+            # Fused grid-stage epilogue, per-subgrid half: apply the roll
+            # phases to the TILE. piece = Wᵀ·diag(phy)·tile·diag(phx)·W,
+            # so the per-subgrid phases commute onto the [N, NP] tile and
+            # the iDFT factors stay CONSTANT — scaled tiles are collected
+            # here and hit the MXU in ONE batched pass after the b loop
+            # (16 tiny per-subgrid dots/step → 4 large ones, round-5
+            # rescue of the 93.3 vs 60.5 ms fused-kernel regression).
             pe_re = jnp.concatenate([r_ for r_, _ in ep], axis=1)  # [N, NP]
             pe_im = jnp.concatenate([i_ for _, i_ in ep], axis=1)
-            oy = oyx_ref[b, 0, 0]
-            ox = oyx_ref[b, 0, 1]
-            two_pi_n = jnp.float32(-2.0 * 3.141592653589793 / N)
-            jrow = lax.broadcasted_iota(jnp.int32, (1, N), 1)
-            sk = (jrow + N // 2) % N
-            ay = two_pi_n * ((sk * oy) % N).astype(jnp.float32)   # [1, N]
-            phy_re, phy_im = jnp.cos(ay), jnp.sin(ay)
-            jcol = lax.broadcasted_iota(jnp.int32, (N * P_POLS, 1), 0)
-            skx = ((jcol % N) + N // 2) % N
-            ax = two_pi_n * ((skx * ox) % N).astype(jnp.float32)  # [NP, 1]
-            phx_re, phx_im = jnp.cos(ax), jnp.sin(ax)
-            wpt_re, wpt_im = wpt_re_ref[...], wpt_im_ref[...]
-            a_re = wpt_re * phy_re - wpt_im * phy_im              # [N, N]
-            a_im = wpt_re * phy_im + wpt_im * phy_re
-            b4_re = wl4_re_ref[...] * phx_re - wl4_im_ref[...] * phx_im
-            b4_im = wl4_re_ref[...] * phx_im + wl4_im_ref[...] * phx_re
-            # stacked complex dots: [A_re; A_im]·P gives all four real
-            # products in two dots per operand pair (K = N packs hi/lo
-            # on the contraction axis via 3x2k; stage 2 has K = NP)
-            a2m = jnp.concatenate([a_re, a_im], axis=0)           # [2N, N]
-            t1 = _dot_mixed(a2m, pe_re, "3x2k")
-            t2 = _dot_mixed(a2m, pe_im, "3x2k")
-            tmp_re = t1[0:N] - t2[N:2 * N]
-            tmp_im = t2[0:N] + t1[N:2 * N]
-            t2m = jnp.concatenate([tmp_re, tmp_im], axis=0)       # [2N, NP]
-            u1 = _dot_mixed(t2m, b4_re, "3x")
-            u2 = _dot_mixed(t2m, b4_im, "3x")
-            o_re = u1[0:N] - u2[N:2 * N]
-            o_im = u2[0:N] + u1[N:2 * N]
-            for p in range(P_POLS):
-                out_re_ref[b, p] = o_re[:, p * N:(p + 1) * N]
-                out_im_ref[b, p] = o_im[:, p * N:(p + 1) * N]
+            ph_re, ph_im = _roll_phase_outer(
+                oyx_ref[b, 0, 0], oyx_ref[b, 0, 1], N, NP, sign=-1.0
+            )
+            pieces.append((pe_re * ph_re - pe_im * ph_im,
+                           pe_re * ph_im + pe_im * ph_re))
 
         if dbuf:
             # one-deep software pipeline: emit finish(b-1) only after
@@ -847,6 +912,49 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
             finish()
     for fin in deferred:
         fin()
+
+    if fuse:
+        # Batched grid-stage epilogue: the whole step's phase-scaled tiles
+        # go through the constant folded-shift iDFT factors in (at NP a
+        # whole number of lane tiles) 4 dots per step — see
+        # _fused_dft_apply for the schedule and its NP%128 fallback.
+        outs = _fused_dft_apply(
+            pieces, a2h_ref, a2l_ref,
+            (b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref), N,
+        )
+        for b, (o_re, o_im) in enumerate(outs):
+            for p in range(P_POLS):
+                out_re_ref[b, p] = o_re[:, p * N:(p + 1) * N]
+                out_im_ref[b, p] = o_im[:, p * N:(p + 1) * N]
+
+
+def _fuse_io(fuse, fuse_oyx, s_pad, B, N, inverse: bool):
+    """BlockSpecs + inputs for the fused grid-stage kernel halves (the
+    gridder's iDFT epilogue / degridder's forward-DFT prologue): the
+    [B, 1, 2] per-step roll offsets and the six pre-split constant factor
+    arrays from common.fused_dft_factor_inputs."""
+    if not fuse:
+        return [], []
+    from .common import fused_dft_factor_inputs
+
+    oyx = jnp.asarray(fuse_oyx, jnp.int32).reshape(-1, 1, 2)
+    if oyx.shape[0] != s_pad:
+        oyx = jnp.pad(oyx, ((0, s_pad - oyx.shape[0]), (0, 0), (0, 0)))
+    consts = fused_dft_factor_inputs(N, P_POLS, inverse=inverse)
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    fuse_specs = [
+        pl.BlockSpec((B, 1, 2), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        const_spec((2 * N, N)),
+        const_spec((2 * N, N)),
+        const_spec((N * P_POLS, N * P_POLS)),
+        const_spec((N * P_POLS, N * P_POLS)),
+        const_spec((N * P_POLS, N * P_POLS)),
+        const_spec((N * P_POLS, N * P_POLS)),
+    ]
+    return fuse_specs, [oyx, *consts]
 
 
 def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
@@ -896,41 +1004,8 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         at_specs += [at_spec(1, b), at_spec(1, b), at_spec(2, b), at_spec(2, b)]
         at_inputs += [stg.at_re, stg.at_im, stg.at_re, stg.at_im]
 
-    fuse_specs = []
-    fuse_inputs = []
-    if fuse:
-        import numpy as _np
-
-        from ..grid import _dft_shift_factors
-
-        w_re, w_im = _dft_shift_factors(N, inverse=True)
-        wl4_re = _np.zeros((N * P_POLS, N * P_POLS), _np.float32)
-        wl4_im = _np.zeros_like(wl4_re)
-        for p in range(P_POLS):
-            wl4_re[p * N:(p + 1) * N, p * N:(p + 1) * N] = w_re
-            wl4_im[p * N:(p + 1) * N, p * N:(p + 1) * N] = w_im
-        oyx = jnp.asarray(fuse_oyx, jnp.int32).reshape(-1, 1, 2)
-        if oyx.shape[0] != s_pad:
-            oyx = jnp.pad(oyx, ((0, s_pad - oyx.shape[0]), (0, 0), (0, 0)))
-        fuse_specs = [
-            pl.BlockSpec((B, 1, 2), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, N), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N * P_POLS, N * P_POLS), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((N * P_POLS, N * P_POLS), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        fuse_inputs = [
-            oyx,
-            jnp.asarray(_np.ascontiguousarray(w_re.T)),
-            jnp.asarray(_np.ascontiguousarray(w_im.T)),
-            jnp.asarray(wl4_re),
-            jnp.asarray(wl4_im),
-        ]
+    fuse_specs, fuse_inputs = _fuse_io(fuse, fuse_oyx, s_pad, B, N,
+                                       inverse=True)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -1009,9 +1084,12 @@ def gridder_pallas_v6_pieces(params, stg, oyx, interpret=None,
     roll (coord_y % N, coord_x % N) from the block-sorted metadata.
 
     This moves the pipeline's XLA producer (phase multiply + two iDFT
-    matmul passes) onto the MXU inside the kernel — 10 extra small
-    passes/subgrid (~6% of the main dots) — and, because the pieces
-    leave the kernel row-major, skips both the producer's S-minor →
+    matmul passes) onto the MXU inside the kernel. The roll phases ride
+    on the tile (piece = Wᵀ·diag(phy)·tile·diag(phx)·W), so the iDFT
+    factors are constant: they arrive pre-split to bf16 hi/lo and the
+    whole step's tiles share 4 batched dots ([2N, 2N]×[2N, B·NP] K-packed
+    stage 1; [B·2N, NP]×[NP, NP] 3x stage 2). Because the pieces leave
+    the kernel row-major, this also skips both the producer's S-minor →
     row-major relayout and the pipeline's explicit S-minor boundary
     transpose."""
     return _gridder_sep_recur_batch_run(

@@ -388,3 +388,67 @@ def test_gridder_fused_pieces_matches_producer():
                 np.asarray(b[i]) / gscale, np.asarray(a[i]) / gscale,
                 atol=1e-5, err_msg=f"grid sparse={sparse} comp={i}",
             )
+
+
+@pytest.mark.slow
+def test_degridder_fused_pieces_matches_producer():
+    """The fused grid-stage PROLOGUE (degridder pallas_v7 fuse path:
+    forward folded-shift DFT + roll-back phases on the MXU inside the
+    kernel, fed the range extraction's block-rolled pieces) reproduces
+    the XLA producer composition (grid_to_subgrids_ranges(apply_fft=True)
+    → degridder) at the comparator gate — the degrid mirror of
+    test_gridder_fused_pieces_matches_producer."""
+    import dataclasses as dc
+
+    import jax
+
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.ops.common import canonical_time_offsets
+    from idg_tpu.ops.grid import (extract_ranges_eligible,
+                                  grid_to_subgrids_ranges,
+                                  plan_grid_extract_ranges,
+                                  sort_observation_blocks)
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.ops.pallas.degridder import degridder_pallas_v7_staged
+    from idg_tpu.types import split_observation
+
+    params = IDGParams(grid_size=128, subgrid_size=16, nr_stations=5,
+                       nr_timeslots=4, nr_timesteps_subgrid=16,
+                       nr_channels=8)
+    g, n = params.grid_size, params.subgrid_size
+    obs, _ = make_observation(params)
+    obs, _ = sort_observation_blocks(obs, g, n)
+    md = obs.metadata
+    eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n)
+    assert extract_ranges_eligible(eplan, params.nr_correlations, g, n)
+    rng = np.random.default_rng(7)
+    grid_pair = tuple(
+        rng.normal(size=(params.nr_correlations, g, g)).astype(np.float32)
+        for _ in range(2)
+    )
+    subs = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y, n,
+                                   apply_fft=True, plan=eplan,
+                                   interpret=True)
+    pieces = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y, n,
+                                     apply_fft=True, plan=eplan,
+                                     pieces=True, interpret=True)
+    stage_fn, _ = STAGED[("degridder", "pallas_v7")]
+    sobs = dc.replace(split_observation(obs), vis_re=None, vis_im=None)
+    canonical = canonical_time_offsets(md, params.nr_timesteps_subgrid)
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, canonical=canonical, with_vis=False),
+        static_argnums=0,
+    )(params, sobs)
+    oyx = np.stack([
+        (np.asarray(md.coord_y).astype(np.int64) % g % n),
+        (np.asarray(md.coord_x).astype(np.int64) % g % n),
+    ], axis=-1)
+    ref = degridder_pallas_v7_staged(params, stg, subs, w_rank=2,
+                                     interpret=True)
+    got = degridder_pallas_v7_staged(params, stg, pieces, w_rank=2,
+                                     fuse_oyx=oyx, interpret=True)
+    for i, (a, b) in enumerate(zip(ref, got)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-30, float(np.sqrt(np.mean(a ** 2))))
+        rms = float(np.sqrt(np.mean((a - b) ** 2))) / denom
+        assert rms < 1e-5, f"comp {i} rel-RMS {rms:.3e}"
