@@ -1542,8 +1542,13 @@ def subgrids_to_grid_ranges_streamed(
     if d % 1024:
         raise ValueError("streamed ranges needs a lane-divisible payload")
     if merge is None:
+        # IDG_GRID_MERGE overrides the auto-pick for merge-width A/Bs
+        from ..config import get_env_var
+
         nb = plan.nby * plan.nbx
-        merge = 16 if nb >= 8 * plan.nr_subgrids else 0
+        merge = get_env_var(
+            "IDG_GRID_MERGE", 16 if nb >= 8 * plan.nr_subgrids else 0
+        )
     if merge:
         mplan = plan_grid_add_merged(plan, merge)
         if mplan is not None:

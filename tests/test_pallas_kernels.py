@@ -320,13 +320,17 @@ def test_w_rank3_improves_on_larger_w(small_params, small_obs):
     assert errs[3] <= errs[2]
 
 
-def test_gridder_fused_pieces_matches_producer():
+@pytest.mark.parametrize("case", [
+    "tile", pytest.param("sparse", marks=pytest.mark.slow),
+])
+def test_gridder_fused_pieces_matches_producer(case):
     """The fused grid-stage epilogue (gridder_pallas_v6_pieces: roll
     phases + folded-shift iDFT on the MXU inside the kernel) reproduces
     the XLA producer (_phase_roll_fourier + fft2_shift_pair) on the
     standard kernel's subgrids, and the composed grid via tiles_pair=
     matches the standard ranges grid — on BOTH dispatch branches (tile
-    path nbp <= 2s and the sparse masked-piece path)."""
+    path nbp <= 2s and the sparse masked-piece path; the sparse case is
+    slow-marked via conftest to keep the fast tier inside its budget)."""
     import jax
     import jax.numpy as jnp
 
@@ -339,15 +343,17 @@ def test_gridder_fused_pieces_matches_producer():
     from idg_tpu.ops.pallas.gridder import gridder_pallas_v6_pieces
     from idg_tpu.types import split_observation
 
-    cases = [
+    cases = {
         # tile path: S = 40 >= nbp/2 = 32
-        IDGParams(grid_size=128, subgrid_size=16, nr_stations=5,
-                  nr_timeslots=4, nr_timesteps_subgrid=16, nr_channels=8),
+        "tile": IDGParams(grid_size=128, subgrid_size=16, nr_stations=5,
+                          nr_timeslots=4, nr_timesteps_subgrid=16,
+                          nr_channels=8),
         # sparse path: S = 6 < 32
-        IDGParams(grid_size=128, subgrid_size=16, nr_stations=3,
-                  nr_timeslots=2, nr_timesteps_subgrid=16, nr_channels=8),
-    ]
-    for params in cases:
+        "sparse": IDGParams(grid_size=128, subgrid_size=16, nr_stations=3,
+                            nr_timeslots=2, nr_timesteps_subgrid=16,
+                            nr_channels=8),
+    }
+    for params in [cases[case]]:
         g, n = params.grid_size, params.subgrid_size
         obs, _ = make_observation(params)
         obs, _ = sort_observation_blocks(obs, g, n)
