@@ -302,10 +302,12 @@ def slice_staged(stg: Staged, lo: int, hi: int) -> Staged:
 def fused_dft_factor_inputs(n: int, p_pols: int, inverse: bool):
     """Host-side constants for the fused grid-stage kernels (gridder
     epilogue / degridder prologue): the folded-shift DFT factors
-    (grid.py:_dft_shift_factors) pre-split to bf16 hi/lo —
-      stage-1 LHS  [Wᵀre; Wᵀim]            [2n, n]   (hi, lo)
-      stage-2 RHS  pol-block-diagonal W    [p·n, p·n] (hi/lo × re/im)
-    Returns (a2h, a2l, b4hr, b4lr, b4hi, b4li). The roll phases ride on
+    (grid.py:_dft_shift_factors) pre-split to bf16 hi/lo AND pre-packed
+    for the K-packed 2-pass dots, so the kernel never assembles a
+    constant operand —
+      stage-1 LHS  [Wᵀre; Wᵀim] hi|lo on K    [2n, 2n]
+      stage-2 RHS  pol-block-diag W, hi;lo / lo;hi K-pairs  [2·p·n, p·n]
+    Returns (a2k, b4r_a, b4r_b, b4i_a, b4i_b). The roll phases ride on
     the tile (piece = Wᵀ·diag(phy)·tile·diag(phx)·W and its forward
     inverse), so these are constant across subgrids and steps."""
     import numpy as np
@@ -329,4 +331,9 @@ def fused_dft_factor_inputs(n: int, p_pols: int, inverse: bool):
     a2h, a2l = _split(a2m)
     b4hr, b4lr = _split(wl4_re)
     b4hi, b4li = _split(wl4_im)
-    return a2h, a2l, b4hr, b4lr, b4hi, b4li
+    a2k = jnp.concatenate([a2h, a2l], axis=1)
+    b4r_a = jnp.concatenate([b4hr, b4lr], axis=0)
+    b4r_b = jnp.concatenate([b4lr, b4hr], axis=0)
+    b4i_a = jnp.concatenate([b4hi, b4li], axis=0)
+    b4i_b = jnp.concatenate([b4li, b4hi], axis=0)
+    return a2k, b4r_a, b4r_b, b4i_a, b4i_b

@@ -985,11 +985,12 @@ def _kernel_polstack_batch(aidx, st1, st2,
     if fuse:
         # fused grid-stage prologue inputs: per-subgrid roll offsets and
         # the folded-shift FORWARD DFT factors, pre-split to bf16 hi/lo
-        # on the host (constants — the roll-back phases apply to the uv
-        # OUTPUT, mirroring _finish_extract's DFT→phase order)
-        (oyx_ref, a2h_ref, a2l_ref,
-         b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref) = rest[pos:pos + 7]
-        pos += 7
+        # and K-packed on the host (constants — the roll-back phases
+        # apply to the uv OUTPUT, mirroring _finish_extract's DFT→phase
+        # order)
+        (oyx_ref, a2k_ref,
+         b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref) = rest[pos:pos + 6]
+        pos += 6
     if sstore:
         out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = rest[pos:]
         phxr_s = phxi_s = None
@@ -1026,8 +1027,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
             for b in range(batch)
         ]
         outs = _fused_dft_apply(
-            pcs, a2h_ref, a2l_ref,
-            (b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref), N,
+            pcs, a2k_ref, (b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref), N,
         )
         fsubs = []
         for b, (o_re, o_im) in enumerate(outs):

@@ -106,20 +106,21 @@ def gridder_precisions(w_rank: int):
     return ("3x", "default") if w_rank <= 2 else ("3x",) * w_rank
 
 
-def _fused_dft_apply(pcs, a2h_ref, a2l_ref, b4_refs, N):
+def _fused_dft_apply(pcs, a2k_ref, b4_refs, N):
     """Shared MXU core of the fused grid-stage kernel halves: apply the
     constant pre-split folded-shift DFT factors to a step's per-subgrid
     [N, NP] tiles (roll phases already on the tile — see
-    common.fused_dft_factor_inputs). Stage 1 contracts tile rows with the
-    shared [Wᵀre; Wᵀim] LHS (K-packed hi/lo, full 4-product quality);
-    stage 2 contracts tile columns with the pol-block-diagonal W RHS
-    (3-product "3x"). When NP is a whole number of 128-lane tiles the
-    stages run BATCHED across the step (tiles on columns, then b-blocks
-    restacked on rows — lane-aligned, no cross-lane movement): 4 large
-    dots per step instead of 4·B small ones. For NP % 128 != 0 the
-    restack would concatenate vregs at mixed lane offsets (Mosaic
-    rejects it), so each subgrid runs its own 4 dots — still with
-    constant factors and tile-side phases."""
+    common.fused_dft_factor_inputs). Both stages run K-packed 2-pass
+    dots (all four bf16 split products, full quality): stage 1 contracts
+    tile rows with the shared hi|lo [Wᵀre; Wᵀim] LHS; stage 2 contracts
+    tile columns with the pre-packed hi;lo / lo;hi pol-block-diagonal W
+    RHS pairs. When NP is a whole number of 128-lane tiles the stages
+    run BATCHED across the step (tiles on columns, then b-blocks
+    restacked on rows — lane-aligned, no cross-lane movement): 6 dots
+    per step instead of 6·B small ones. For NP % 128 != 0 the restack
+    would concatenate vregs at mixed lane offsets (Mosaic rejects it),
+    so each subgrid runs its own dots — still with constant factors and
+    tile-side phases."""
     NP = pcs[0][0].shape[1]
     batch = len(pcs)
 
@@ -133,20 +134,21 @@ def _fused_dft_apply(pcs, a2h_ref, a2l_ref, b4_refs, N):
             preferred_element_type=jnp.float32,
         )
 
-    l2 = jnp.concatenate([a2h_ref[...], a2l_ref[...]], axis=1)  # [2N, 2N]
+    l2 = a2k_ref[...]                                   # [2N, 2N] hi|lo
 
     def dot_k(p_):
         ph_, pl_ = _split(p_)
         return _d(l2, jnp.concatenate([ph_, pl_], axis=0)) + \
             _d(l2, jnp.concatenate([pl_, ph_], axis=0))
 
-    b4hr, b4lr = b4_refs[0][...], b4_refs[1][...]
-    b4hi, b4li = b4_refs[2][...], b4_refs[3][...]
+    b4r_a, b4r_b = b4_refs[0][...], b4_refs[1][...]     # [2NP, NP]
+    b4i_a, b4i_b = b4_refs[2][...], b4_refs[3][...]
 
     def stage2(t2m):
         th, tl = _split(t2m)
-        u1 = _d(th, b4hr) + (_d(th, b4lr) + _d(tl, b4hr))
-        u2 = _d(th, b4hi) + (_d(th, b4li) + _d(tl, b4hi))
+        t2 = jnp.concatenate([th, tl], axis=1)
+        u1 = _d(t2, b4r_a) + _d(t2, b4r_b)
+        u2 = _d(t2, b4i_a) + _d(t2, b4i_b)
         return u1, u2
 
     if NP % 128 == 0:
@@ -781,12 +783,12 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
     pos = 4 * batch
     if fuse:
         # fused grid-stage epilogue inputs: per-subgrid roll offsets and
-        # the folded-shift iDFT factors, pre-split to bf16 hi/lo OUTSIDE
-        # the kernel (they are constants — the roll phases ride on the
-        # tile, not the factors, so no per-subgrid factor scaling)
-        (oyx_ref, a2h_ref, a2l_ref,
-         b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref) = rest[pos:pos + 7]
-        pos += 7
+        # the folded-shift iDFT factors, pre-split to bf16 hi/lo and
+        # K-packed OUTSIDE the kernel (constants — the roll phases ride
+        # on the tile, not the factors, so no per-subgrid factor work)
+        (oyx_ref, a2k_ref,
+         b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref) = rest[pos:pos + 6]
+        pos += 6
     out_re_ref, out_im_ref = rest[pos:pos + 2]
     scr = rest[pos + 2:]
     NP = N * P_POLS
@@ -919,8 +921,7 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
         # whole number of lane tiles) 4 dots per step — see
         # _fused_dft_apply for the schedule and its NP%128 fallback.
         outs = _fused_dft_apply(
-            pieces, a2h_ref, a2l_ref,
-            (b4hr_ref, b4lr_ref, b4hi_ref, b4li_ref), N,
+            pieces, a2k_ref, (b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref), N,
         )
         for b, (o_re, o_im) in enumerate(outs):
             for p in range(P_POLS):
@@ -947,12 +948,11 @@ def _fuse_io(fuse, fuse_oyx, s_pad, B, N, inverse: bool):
     fuse_specs = [
         pl.BlockSpec((B, 1, 2), lambda i, *_: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        const_spec((2 * N, N)),
-        const_spec((2 * N, N)),
-        const_spec((N * P_POLS, N * P_POLS)),
-        const_spec((N * P_POLS, N * P_POLS)),
-        const_spec((N * P_POLS, N * P_POLS)),
-        const_spec((N * P_POLS, N * P_POLS)),
+        const_spec((2 * N, 2 * N)),
+        const_spec((2 * N * P_POLS, N * P_POLS)),
+        const_spec((2 * N * P_POLS, N * P_POLS)),
+        const_spec((2 * N * P_POLS, N * P_POLS)),
+        const_spec((2 * N * P_POLS, N * P_POLS)),
     ]
     return fuse_specs, [oyx, *consts]
 
