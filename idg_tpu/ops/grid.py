@@ -1542,15 +1542,26 @@ def subgrids_to_grid_ranges_streamed(
     if d % 1024:
         raise ValueError("streamed ranges needs a lane-divisible payload")
     if merge is None:
-        # IDG_GRID_MERGE overrides the auto-pick for merge-width A/Bs
+        # IDG_GRID_MERGE overrides the auto-pick for merge-width A/Bs.
+        # Auto tries the widest group the geometry supports: the round-5
+        # sweep at 16384² measured 336.7 (m64) / 349.5 (m32) / 353.7 ms
+        # (m16) — wider groups amortize more per-step fixed cost, and
+        # plan_grid_add_merged declines incompatible geometries so the
+        # ladder falls through safely.
         from ..config import get_env_var
 
         nb = plan.nby * plan.nbx
-        merge = get_env_var(
-            "IDG_GRID_MERGE", 16 if nb >= 8 * plan.nr_subgrids else 0
+        sparse = nb >= 8 * plan.nr_subgrids
+        env = get_env_var("IDG_GRID_MERGE", -1)
+        candidates = (
+            [env] if env >= 0 else ([64, 32, 16] if sparse else [])
         )
-    if merge:
-        mplan = plan_grid_add_merged(plan, merge)
+    else:
+        candidates = [merge]
+    for m_try in candidates:
+        if not m_try:
+            break
+        mplan = plan_grid_add_merged(plan, m_try)
         if mplan is not None:
             return _subgrids_to_grid_merged_streamed(
                 sub, coord_x, coord_y, g, apply_fft, interpret, plan,

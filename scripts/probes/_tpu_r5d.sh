@@ -24,3 +24,7 @@ run env GRID_SIZE=4096 NR_STATIONS=27 python -m idg_tpu pipeline \
   --direction degrid --version pallas_v7 --suffix _lofar4096
 
 echo "ALL DONE $(date)" >> $log
+
+# 16384^2 trace at merge=64 for the issue-rate floor statement
+run env GRID_SIZE=16384 IDG_GRID_MERGE=64 IDG_PROFILE_DIR=/tmp/r5_trace_16k \
+  python -m idg_tpu.cli grid --method ranges --suffix _16384_m64
