@@ -370,13 +370,56 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
             # fullsize chunked path's methodology — leading-axis-slimmed
             # outputs (full kernel work, small queue buffers) — and the
             # gridder's `match` AOT dispatch so the staged arrays and the
-            # subgrid input sit in the executable's own preferred layouts
-            # (zero per-launch relayout copies by construction). Round-4
-            # LOFAR degridder ran 2.77 µs/subgrid vs 2.06 fullsize through
-            # the unmatched plain-jit dispatch here.
+            # subgrid input sit in the executable's own preferred layouts.
+            # Round-5 LOFAR trace (scripts/probes/_tpu_r5_lofardiag.py):
+            # the kernel runs at the fullsize 2.04 µs/subgrid, but the
+            # launch paid ~4.3 ms re-padding every input 7020 → 7024
+            # (batch multiple) INSIDE the timed program plus ~1.4 ms
+            # transposing the full [S, P, V] output before the slim
+            # slice. Fix both outside the window: pad the staging ONCE
+            # to a batch multiple (8 covers every kernel's step batch;
+            # ≤0.1% extra rows, pessimistic direction) and slim the RAW
+            # c-major output before the [S,T,C,P] transpose so XLA
+            # dead-codes the full-size relayout.
+            import jax.numpy as jnp
+
+            s_pad8 = -(-s // 8) * 8
+            if s_pad8 != s:
+                import dataclasses as _dc
+
+                from .pallas.common import _PER_SUBGRID_FIELDS
+
+                pad = s_pad8 - s
+                updates = {
+                    name: jnp.pad(
+                        getattr(stg, name),
+                        [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+                    )
+                    for name in _PER_SUBGRID_FIELDS
+                    if getattr(stg, name) is not None
+                }
+                stg = _dc.replace(stg, **updates)
+                sub_pair = tuple(
+                    jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+                    for x in sub_pair
+                )
             sub_pinned = _pin_rowmajor(sub_pair)
+            takes_raw = "raw" in inspect.signature(
+                getattr(run_fn, "func", run_fn)
+            ).parameters
 
             def _slim1(p, stg_c, sub_c):
+                if takes_raw:
+                    # raw c-major [S, P, V] rows; transpose only the
+                    # slimmed row (the full-rows relayout dead-codes)
+                    re, im = run_fn(p, stg_c, sub_c, raw=True)
+                    T, C = p.nr_timesteps_subgrid, p.nr_channels
+                    P = re.shape[1]
+                    return tuple(
+                        jnp.transpose(v[:1].reshape(1, P, C, T),
+                                      (0, 3, 2, 1))
+                        for v in (re, im)
+                    )
                 out = run_fn(p, stg_c, sub_c)
                 return jax.tree_util.tree_map(lambda x: x[:1], out)
 
