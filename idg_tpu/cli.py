@@ -605,10 +605,41 @@ def cmd_pipeline(args) -> int:
                 (np.asarray(md.coord_y).astype(np.int64) % g % n),
                 (np.asarray(md.coord_x).astype(np.int64) % g % n),
             ], axis=-1)
+
+            def _sample_fn(bounds_):
+                # one extraction output with the layouts the runtime
+                # producer emits — drives the consumers' AOT layout
+                # match (api.staged_degridder_pieces_chunk_consumers)
+                cxn_ = np.asarray(md.coord_x)
+                cyn_ = np.asarray(md.coord_y)
+                if len(bounds_) == 1:
+                    out = jax.jit(lambda gr: grid_to_subgrids_ranges(
+                        gr, cx, cy, n, apply_fft=True, plan=eplan,
+                        pieces=True))(grid_pair)
+                else:
+                    lo, hi = bounds_[0]
+                    mc_ = hi - lo
+                    sp = slice_extract_plan(eplan, lo, hi)
+
+                    def esh(gr, qb0, tmeta, cx_c, cy_c):
+                        p_ = GridExtractRangePlan(
+                            qb0, tmeta, eplan.k_span, eplan.wc,
+                            mc_ // eplan.wc, eplan.nby, eplan.nbx,
+                            mc_, g, n,
+                        )
+                        return grid_to_subgrids_ranges(
+                            gr, cx_c, cy_c, n, apply_fft=True, plan=p_,
+                            pieces=True)
+
+                    out = jax.jit(esh)(grid_pair, sp.qb0, sp.tmeta,
+                                       cxn_[lo:hi], cyn_[lo:hi])
+                jax.block_until_ready(out)
+                return out
+
             fcons, fbounds, rversion = \
                 staged_degridder_pieces_chunk_consumers(
                     params, obs, version, oyx_d, w_rank=args.w_rank,
-                    align=eplan.wc,
+                    align=eplan.wc, sample_fn=_sample_fn,
                 )
             if fcons is not None:
                 consumers, bounds, fused = fcons, fbounds, True

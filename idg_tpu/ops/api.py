@@ -743,7 +743,8 @@ def staged_degridder_pieces_chunk_consumers(params: IDGParams,
                                             obs: Observation,
                                             version: str = "pallas_v7",
                                             oyx=None, w_rank=None,
-                                            align: int = 1):
+                                            align: int = 1,
+                                            sample_fn=None):
     """Fused duals of staged_degridder_chunk_consumers: each consumer
     takes the range extraction's block-rolled PIECES ([rows, P, N, N]
     row-major, grid_to_subgrids_ranges(pieces=True)) and runs the
@@ -777,6 +778,32 @@ def staged_degridder_pieces_chunk_consumers(params: IDGParams,
         static_argnums=0,
     )
     bounds = [(lo, lo + chunk) for lo in starts]
+    if sample_fn is not None:
+        # AOT layout-matched dispatch: `sample_fn(bounds)` produces ONE
+        # upstream extraction output (device arrays carrying the REAL
+        # layouts the producer emits every launch). Lowering against it
+        # captures those as the pieces input format, and the staged
+        # chunk + roll offsets are device_put into the executable's own
+        # preferred formats — the round-5 ablation measured
+        # ~2.2 ms/chunk of per-launch staged-input relayouts on the
+        # plain-jit dispatch (scripts/probes/_tpu_r5_fuseablate.py).
+        try:
+            sample = sample_fn(bounds)
+            oyx0 = jax.device_put(oyx_full[bounds[0][0]:bounds[0][1]])
+            compiled = run.lower(params, chunks[0], sample, oyx0).compile()
+            in_fmt = compiled.input_formats[0]
+            consumers = []
+            for st, (lo, hi) in zip(chunks, bounds):
+                st2 = jax.device_put(st, in_fmt[0])
+                oyx_c = jax.device_put(oyx_full[lo:hi], in_fmt[2])
+                consumers.append(
+                    lambda pieces, st2=st2, oyx_c=oyx_c:
+                        compiled(st2, pieces, oyx_c)
+                )
+            return consumers, bounds, version_r
+        except Exception as e:  # noqa: BLE001 — downgrade, but say so
+            print(f"[idg-tpu] pieces consumers: AOT layout-matched "
+                  f"dispatch unavailable ({type(e).__name__}); plain jit")
     consumers = []
     for st, (lo, hi) in zip(chunks, bounds):
         oyx_c = jax.device_put(oyx_full[lo:hi])

@@ -991,12 +991,20 @@ def _kernel_polstack_batch(aidx, st1, st2,
         (oyx_ref, a2k_ref,
          b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref) = rest[pos:pos + 6]
         pos += 6
+    tail = rest[pos:]
+    fsub_re_s = fsub_im_s = None
+    if fuse:
+        # fused-prologue hand-off scratches: the converted uv tiles are
+        # STORED here and reloaded per subgrid, instead of holding
+        # 2·B·[N, NP] live values across the whole step (which forced
+        # spills with miserable scheduling: +17 ms vs +7 expected on the
+        # round-5 parts probe)
+        tail, (fsub_re_s, fsub_im_s) = tail[:-2], tail[-2:]
     if sstore:
-        out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = rest[pos:]
+        out_re_ref, out_im_ref, phyr_s, phyi_s, rhs_s = tail
         phxr_s = phxi_s = None
     else:
-        out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = \
-            rest[pos:]
+        out_re_ref, out_im_ref, phyr_s, phyi_s, phxr_s, phxi_s = tail
         rhs_s = None
     sph = sph_ref[...]
     k0 = k_ref[0, 0]
@@ -1029,19 +1037,23 @@ def _kernel_polstack_batch(aidx, st1, st2,
         outs = _fused_dft_apply(
             pcs, a2k_ref, (b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref), N,
         )
-        fsubs = []
         for b, (o_re, o_im) in enumerate(outs):
             ph_re, ph_im = _roll_phase_outer(
                 oyx_ref[b, 0, 0], oyx_ref[b, 0, 1], N, NP, sign=+1.0
             )
-            fsubs.append((o_re * ph_re - o_im * ph_im,
-                          o_re * ph_im + o_im * ph_re))
+            fsub_re_s[b] = o_re * ph_re - o_im * ph_im
+            fsub_im_s[b] = o_re * ph_im + o_im * ph_re
 
     def _sub_tiles(b):
-        if fuse:
-            return [(fsubs[b][0][:, p * N:(p + 1) * N],
-                     fsubs[b][1][:, p * N:(p + 1) * N])
+        if fuse and ablate != "fuse_raw":
+            re_b = fsub_re_s[b]
+            im_b = fsub_im_s[b]
+            return [(re_b[:, p * N:(p + 1) * N],
+                     im_b[:, p * N:(p + 1) * N])
                     for p in range(P_POLS)]
+        # ablate == "fuse_raw" (debug-only, wrong results): prologue
+        # computes + stores but the main loop consumes the raw refs —
+        # attributes prologue compute vs its consumption coupling
         return [(sub_re_ref[b, p], sub_im_ref[b, p]) for p in range(P_POLS)]
 
     if swpipe:
@@ -1441,8 +1453,8 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
 
     if kmerge:
         swpipe = True       # kmerge lives on the pipelined phase-A path
-    if swpipe and (ablate or qsplit or hswap or sstore
-                   or not (cfold or w_rank == 1)):
+    if swpipe and (ablate not in ("", "fuse_raw") or qsplit or hswap
+                   or sstore or not (cfold or w_rank == 1)):
         swpipe = False      # the pipelined schedule covers the shipping path
         kmerge = 0
     if swpipe:
@@ -1523,6 +1535,8 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
             + ([pltpu.VMEM((2 if dbuf else 1, 2 * N, 2 * V), jnp.float32)]
                if sstore
                else [pltpu.VMEM((2 if dbuf else 1, N, V), jnp.float32)] * 2)
+            + ([pltpu.VMEM((B, N, N * P_POLS), jnp.float32)] * 2
+               if fuse else [])
         ),
     )
     out_shape = (
