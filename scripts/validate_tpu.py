@@ -141,6 +141,153 @@ def grid_stage_section(gate: float = 1e-4):
     return rows
 
 
+def fused_section():
+    """Fused pipeline compositions vs producer paths at the check problem."""
+    import dataclasses as dc
+
+    import jax
+    import numpy as np
+
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.ops.common import canonical_time_offsets
+    from idg_tpu.ops.grid import (extract_ranges_eligible,
+                                  grid_to_subgrids_ranges,
+                                  plan_grid_extract_ranges,
+                                  sort_observation_blocks,
+                                  subgrids_to_grid_ranges)
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.ops.pallas.degridder import degridder_pallas_v7_staged
+    from idg_tpu.ops.pallas.gridder import gridder_pallas_v6_pieces
+    from idg_tpu.types import split_observation
+
+    rows = []
+    params = IDGParams.correctness_defaults()
+    g, n = params.grid_size, params.subgrid_size
+    obs, _ = make_observation(params)
+    obs, _ = sort_observation_blocks(obs, g, n)
+    md = obs.metadata
+    oyx = np.stack([
+        (np.asarray(md.coord_y).astype(np.int64) % g % n),
+        (np.asarray(md.coord_x).astype(np.int64) % g % n),
+    ], axis=-1)
+
+    def rel_rms(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-30, float(np.sqrt(np.mean(a ** 2))))
+        return float(np.sqrt(np.mean((a - b) ** 2))) / denom
+
+    # gridder: pieces epilogue -> range grid-add vs producer composition
+    sobs = split_observation(obs)
+    stage_fn, run_fn = STAGED[("gridder", "pallas_v6")]
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, with_vis=True), static_argnums=0
+    )(params, sobs)
+    sub = run_fn(params, stg)
+    exp = subgrids_to_grid_ranges(sub, md.coord_x, md.coord_y, g,
+                                  apply_fft=True)
+    pieces = gridder_pallas_v6_pieces(params, stg, oyx)
+    got = subgrids_to_grid_ranges(None, md.coord_x, md.coord_y, g,
+                                  apply_fft=True, tiles_pair=pieces)
+    err = max(rel_rms(exp[0], got[0]), rel_rms(exp[1], got[1]))
+    ok = err < 1e-5
+    rows.append("| gridder pallas_v6 pieces -> range grid-add | "
+                f"{'PASSED' if ok else 'FAILED'} | {err:.2e} |")
+    del stg, sub, exp, pieces, got
+
+    # degridder: range extraction pieces -> fused prologue vs producer
+    eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n)
+    if extract_ranges_eligible(eplan, params.nr_correlations, g, n):
+        rng = np.random.default_rng(7)
+        grid_pair = tuple(
+            rng.normal(size=(params.nr_correlations, g, g))
+            .astype(np.float32) for _ in range(2)
+        )
+        subs = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y,
+                                       n, apply_fft=True, plan=eplan)
+        pcs = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y,
+                                      n, apply_fft=True, plan=eplan,
+                                      pieces=True)
+        dstage_fn, _ = STAGED[("degridder", "pallas_v7")]
+        dsobs = dc.replace(sobs, vis_re=None, vis_im=None)
+        canonical = canonical_time_offsets(md, params.nr_timesteps_subgrid)
+        dstg = jax.jit(
+            lambda p, s: dstage_fn(p, s, canonical=canonical,
+                                   with_vis=False),
+            static_argnums=0,
+        )(params, dsobs)
+        ref = degridder_pallas_v7_staged(params, dstg, subs, w_rank=2)
+        fus = degridder_pallas_v7_staged(params, dstg, pcs, w_rank=2,
+                                         fuse_oyx=oyx)
+        err = max(rel_rms(ref[0], fus[0]), rel_rms(ref[1], fus[1]))
+        ok = err < 1e-5
+        rows.append("| range extract -> degridder pallas_v7 fused prologue "
+                    f"| {'PASSED' if ok else 'FAILED'} | {err:.2e} |")
+    else:
+        rows.append("| range extract -> degridder fused prologue | "
+                    "SKIPPED (plan not range-eligible) | - |")
+    return rows
+
+
+def mesh_section():
+    """mesh(1) shard_map parity vs the unsharded staged kernels."""
+    import jax
+    import numpy as np
+
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.data import initialize_subgrids
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.parallel import make_mesh
+    from idg_tpu.parallel.sharded import (shard_staged_inputs,
+                                          sharded_degridder_staged,
+                                          sharded_gridder_staged)
+    from idg_tpu.types import (combine_complex, split_complex,
+                               split_observation)
+    from idg_tpu.utils.compare import check_error
+
+    rows = []
+    params = IDGParams.correctness_defaults()
+    obs, _ = make_observation(params)
+    sobs = split_observation(obs)
+    mesh = make_mesh(1)
+
+    stage_fn, run_fn = STAGED[("gridder", "pallas_v6")]
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, with_vis=True), static_argnums=0
+    )(params, sobs)
+    exp = combine_complex(*map(np.asarray, run_fn(params, stg)))
+    del stg
+    stg_sh, _ = shard_staged_inputs(params, sobs, mesh, "gridder",
+                                    "pallas_v6")
+    got = combine_complex(*map(
+        np.asarray,
+        sharded_gridder_staged(params, mesh, "pallas_v6")(stg_sh)))
+    r = check_error(got, exp, verbose=False)
+    rows.append("| gridder | pallas_v6 mesh1 | "
+                f"{'PASSED' if r.passed else 'FAILED'} | "
+                f"{r.mean_error:.3g} |")
+    del stg_sh, exp, got
+
+    subgrids = initialize_subgrids(
+        params.nr_subgrids, params.nr_correlations, params.subgrid_size)
+    stage_fn, run_fn = STAGED[("degridder", "pallas_v7")]
+    stg = jax.jit(
+        lambda p, s: stage_fn(p, s, with_vis=False), static_argnums=0
+    )(params, sobs)
+    exp = combine_complex(*map(
+        np.asarray, run_fn(params, stg, split_complex(subgrids))))
+    del stg
+    stg_sh, spair = shard_staged_inputs(
+        params, sobs, mesh, "degridder", "pallas_v7", subgrids)
+    got = combine_complex(*map(
+        np.asarray,
+        sharded_degridder_staged(params, mesh, "pallas_v7")(stg_sh, spair)))
+    r = check_error(got, exp, verbose=False)
+    rows.append("| degridder | pallas_v7 mesh1 | "
+                f"{'PASSED' if r.passed else 'FAILED'} | "
+                f"{r.mean_error:.3g} |")
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="res/VALIDATION.md")
@@ -206,6 +353,38 @@ def main() -> int:
         "|---|---|---|",
     ]
     lines += grid_stage_section()
+
+    lines += [
+        "",
+        "## Fused grid-stage compositions (round 5)",
+        "",
+        "The fused pipeline kernels — gridder iDFT EPILOGUE emitting",
+        "phase-rolled pieces into the range grid-add, degridder",
+        "forward-DFT PROLOGUE consuming the range extraction's pieces —",
+        "vs their XLA-producer compositions, on-device at the check",
+        "problem (normalized RMS, 1e-5 gate). Fullsize hardware numbers:",
+        "scripts/probes/_tpu_r5_fusedpipe.py / _tpu_r5_degridpipe.py.",
+        "",
+        "| composition | result | error |",
+        "|---|---|---|",
+    ]
+    lines += fused_section()
+
+    lines += [
+        "",
+        "## Mesh path on real hardware (mesh(1), check problem)",
+        "",
+        "shard_map + staged Mosaic kernels + NamedSharding resharding on",
+        "the real TPU backend. mesh(1) runs the same traced program —",
+        "partition specs, boundary layouts, raw c-major degridder",
+        "boundary — with world size 1, so no second chip is needed.",
+        "Fullsize runs: scripts/mesh1_parity_tpu.py (round 5:",
+        "bit-identical, both workloads).",
+        "",
+        "| workload | version | vs unsharded staged | error |",
+        "|---|---|---|---|",
+    ]
+    lines += mesh_section()
 
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
