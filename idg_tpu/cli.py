@@ -725,13 +725,19 @@ def cmd_pipeline(args) -> int:
             # 97.3-97.8 ms vs 91.5 ms of parts, scripts/probes/
             # _tpu_r4_pipeab.py)
             from .ops.api import staged_gridder_pieces_runner
+            from .ops.grid import tile_pad_rows
 
             oyx = np.stack([
                 (np.asarray(md.coord_y).astype(np.int64) % g % n),
                 (np.asarray(md.coord_x).astype(np.int64) % g % n),
             ], axis=-1)
+            # tile-path plans: pre-pad the staging so the kernel emits
+            # the range grid-add's row form directly (zero-copy
+            # boundary); sparse plans keep the 4-D pieces form
+            pr = tile_pad_rows(plan) if plan.nbp <= 2 * oyx.shape[0] \
+                else None
             kfn, kernel_args, rversion = staged_gridder_pieces_runner(
-                params, obs, rversion, oyx, w_rank=rw_rank
+                params, obs, rversion, oyx, w_rank=rw_rank, pad_rows=pr
             )
         if kfn is not None:
             gfn_t = jax.jit(lambda t: subgrids_to_grid_ranges(

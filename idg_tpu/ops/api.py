@@ -513,7 +513,8 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
 
 
 def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
-                                 version: str, oyx, w_rank=None):
+                                 version: str, oyx, w_rank=None,
+                                 pad_rows=None):
     """staged_runner's gridder path with the grid-stage producer fused
     into the kernel epilogue (pallas.gridder.gridder_pallas_v6_pieces):
     the timed call emits phase-rolled iDFT PIECES ready for
@@ -526,7 +527,16 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
     kernel carries the fused epilogue), or when the range-kernel row
     size P·N² is not a multiple of 1024 (subgrids_to_grid_ranges(
     tiles_pair=...) rejects such shapes; the caller's non-fused path
-    falls back to the bucketed scatter instead)."""
+    falls back to the bucketed scatter instead).
+
+    With `pad_rows` (= tile_pad_rows(plan) for the consuming range
+    plan; tile path only), the staging is pre-padded ONCE to the
+    batch-rounded padded row count and the timed call emits the range
+    kernel's row form [R, N, N·P] directly (rows_out) — exact (8,128)
+    tiles at N·P = 128, so the stage boundary has NO XLA op at all,
+    where the [S, P, N, N] form pays ~8 ms/pass of relayout copies
+    (its 32-lane trailing dim is physically lane-padded 4× under
+    T(8,128), so no bitcast to the row form exists; round-5 trace)."""
     import jax.numpy as jnp
 
     from .pallas import STAGED
@@ -552,7 +562,20 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
     run_fn = gridder_pallas_v6_pieces
     if w_rank is not None:
         run_fn = partial(run_fn, w_rank=w_rank)
-    oyx_dev = jax.device_put(jnp.asarray(np.asarray(oyx), jnp.int32))
+    oyx_np = np.asarray(oyx)
+    if pad_rows is not None:
+        from .pallas.common import pad_staged
+
+        batch = 4  # gridder_pallas_v6_pieces default step batch
+        s = stg.uvw.shape[0]
+        r = -(-(s + pad_rows) // batch) * batch
+        stg = pad_staged(stg, r)
+        jax.block_until_ready(jax.tree_util.tree_leaves(stg))
+        oyx_np = np.concatenate(
+            [oyx_np, np.zeros((r - oyx_np.shape[0], 2), oyx_np.dtype)]
+        )
+        run_fn = partial(run_fn, rows_out=True)
+    oyx_dev = jax.device_put(jnp.asarray(oyx_np, jnp.int32))
     # row-major outputs + AOT input-layout matching, exactly as
     # staged_runner's gridder path (the range kernel reads the pieces
     # row-major; mismatched layouts re-insert per-launch relayouts).
@@ -562,8 +585,9 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
     # whatever the run executable prefers).
     stage_mode = os.environ.get("IDG_STAGE_LAYOUT", "match").lower()
     try:
+        out_dims = (1, 1, 1) if pad_rows is not None else (1, 1, 1, 1)
         fmt = _rowmajor_formats(
-            jax.ShapeDtypeStruct((1, 1, 1, 1), np.float32)
+            jax.ShapeDtypeStruct(out_dims, np.float32)
         )
         run_jit = jax.jit(run_fn, static_argnums=0,
                           out_shardings=(fmt, fmt))

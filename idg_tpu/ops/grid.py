@@ -884,7 +884,7 @@ def tile_pad_rows(plan: GridAddRangePlan) -> int:
 
 
 def _grid_add_ranges_tiles(tiles: Pair, oyx, plan: GridAddRangePlan,
-                           interpret) -> Pair:
+                           interpret, row_form: bool = False) -> Pair:
     """Range-read reduction DIRECTLY from rolled tiles: same contiguous-
     run window scheme as _grid_add_ranges, but the quadrant masking
     happens IN-KERNEL (per-row oy/ox offsets ride along as tiny [W,1,2]
@@ -895,8 +895,10 @@ def _grid_add_ranges_tiles(tiles: Pair, oyx, plan: GridAddRangePlan,
     call — cost ~24 ms of the 67 ms pass (xplane attribution); the
     in-kernel masks are a few extra VPU compares on data already in
     VMEM."""
-    if tiles[0].shape[0] != tile_pad_rows(plan) + plan.nr_subgrids:
-        raise ValueError("tiles must be pre-padded with tile_pad_rows")
+    if tiles[0].shape[0] < tile_pad_rows(plan) + plan.nr_subgrids:
+        raise ValueError("tiles must be pre-padded with tile_pad_rows "
+                         "(extra rows beyond that are allowed: window "
+                         "reads are masked by run membership)")
     if plan.nbp > MAX_RANGE_BLOCKS:
         stripes = []
         for lo in range(0, plan.nbp, MAX_RANGE_BLOCKS):
@@ -904,13 +906,14 @@ def _grid_add_ranges_tiles(tiles: Pair, oyx, plan: GridAddRangePlan,
             stripes.append(_grid_add_ranges_tiles_call(
                 tiles, oyx, plan.w, plan.subgrid_size,
                 plan.tstarts[:, lo:hi], plan.lens[:, lo:hi], interpret,
+                row_form=row_form,
             ))
         return tuple(
             jnp.concatenate([s[i] for s in stripes]) for i in range(2)
         )
     return _grid_add_ranges_tiles_call(
         tiles, oyx, plan.w, plan.subgrid_size, plan.tstarts, plan.lens,
-        interpret,
+        interpret, row_form=row_form,
     )
 
 
@@ -918,10 +921,17 @@ _QUADRANTS = ((0, 0), (0, 1), (1, 0), (1, 1))  # matches plan ids order
 
 
 def _grid_add_ranges_tiles_call(tiles: Pair, oyx, w: int, n: int,
-                                tstarts_in, lens_in, interpret) -> Pair:
+                                tstarts_in, lens_in, interpret,
+                                row_form: bool = False) -> Pair:
     """Single pallas_call of the tile-range reduction. tstarts_in/lens_in
     are [4, nbp] tables — host numpy when called with a static plan, or
-    traced arrays inside shard_map (the per-shard mesh path)."""
+    traced arrays inside shard_map (the per-shard mesh path).
+
+    `row_form`: tiles are [R, N, N·P] (element (i, p·N + j) — the fused
+    gridder epilogue's native output shape, exact (8,128) tiles at
+    N·P = 128) instead of the flat [R, 8, P·N²/8] (p, i, j) rows; the
+    output blocks come back in the same shape and the caller converts
+    to the flat block order before _blocks_to_grid."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -948,12 +958,17 @@ def _grid_add_ranges_tiles_call(tiles: Pair, oyx, w: int, n: int,
 
         @pl.when(occupied)
         def _():
-            # static lane→pixel maps of the flattened (p, i, j) payload
+            # static lane→pixel maps of the payload: flat (p, i, j) rows
+            # or the fused epilogue's (i, p·N + j) row form
             r_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 1)
             c_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 2)
-            flat = r_iota * d8 + c_iota
-            i_map = (flat // n) % n
-            j_map = flat % n
+            if row_form:
+                i_map = r_iota
+                j_map = c_iota % n
+            else:
+                flat = r_iota * d8 + c_iota
+                i_map = (flat // n) % n
+                j_map = flat % n
             acc = jnp.zeros((eight, d8), jnp.float32)
             for q, (qy, qx) in enumerate(_QUADRANTS):
                 t0 = ts_ref[q * nbp + b]
@@ -1865,7 +1880,14 @@ def subgrids_to_grid_ranges(
     `tiles_pair` supplies PRE-TRANSFORMED tiles (phase-rolled iDFT
     output, e.g. from the fused gridder epilogue,
     pallas.gridder.gridder_pallas_v6_pieces) and skips the producer
-    entirely; `sub` is ignored and apply_fft must be True."""
+    entirely; `sub` is ignored and apply_fft must be True. Entries may
+    be [S, P, N, N] (padded/reshaped here) or ALREADY in the range
+    kernel's padded row form [R, 8, P·N²/8] with R ≥ S +
+    tile_pad_rows(plan) (requires `plan`, tile path only): the fused
+    kernel emits that form directly (rows_out=True) so the composition
+    has no boundary pad/relayout at all (round-5 trace: the XLA
+    pad+copy chain on the 4D form cost ~10.7 ms/pass at the default
+    problem)."""
     from .pallas.common import use_interpret
 
     if interpret is None:
@@ -1873,7 +1895,20 @@ def subgrids_to_grid_ranges(
     if tiles_pair is not None and not apply_fft:
         raise ValueError("tiles_pair implies apply_fft=True (the tiles "
                          "are already phase-rolled iDFT output)")
-    s, p, n, _ = (tiles_pair if tiles_pair is not None else sub)[0].shape
+    rows_form = tiles_pair is not None and tiles_pair[0].ndim == 3
+    if rows_form:
+        if plan is None:
+            raise ValueError("row-form tiles_pair requires an explicit "
+                             "plan (S/N are not derivable from the "
+                             "padded row array)")
+        s, n = plan.nr_subgrids, plan.subgrid_size
+        if tiles_pair[0].shape[1] != n:
+            raise ValueError(
+                f"row-form tiles must be [R, N, N·P] with N = "
+                f"{n}; got {tiles_pair[0].shape}")
+        p = tiles_pair[0].shape[2] // n
+    else:
+        s, p, n, _ = (tiles_pair if tiles_pair is not None else sub)[0].shape
     d = p * n * n
     if plan is None:
         plan = plan_grid_add_ranges(coord_x, coord_y, grid_size, n)
@@ -1895,21 +1930,39 @@ def subgrids_to_grid_ranges(
     if apply_fft and plan.nbp <= 2 * s:
         # tile path: roll rides the iDFT as Fourier phases, quadrant
         # masking happens in-kernel — no materialized piece array
-        if tiles_pair is not None:
-            x = tiles_pair
-        else:
-            x = _phase_roll_fourier(sub, oy, ox, shifted=True)
-            x = fft2_shift_pair(x, inverse=True)
         tpad = tile_pad_rows(plan)
-        z = jnp.zeros((tpad, p, n, n), x[0].dtype)
-        tiles = tuple(
-            jnp.concatenate([v, z]).reshape(s + tpad, 8, d8) for v in x
-        )
+        if rows_form:
+            r = tiles_pair[0].shape[0]
+            if r < s + tpad:
+                raise ValueError(
+                    f"row-form tiles have {r} rows; the plan needs at "
+                    f"least {s + tpad} (S + tile_pad_rows)")
+            tiles = tiles_pair
+            tpad = r - s  # windows may read any padded row
+        else:
+            if tiles_pair is not None:
+                x = tiles_pair
+            else:
+                x = _phase_roll_fourier(sub, oy, ox, shifted=True)
+                x = fft2_shift_pair(x, inverse=True)
+            z = jnp.zeros((tpad, p, n, n), x[0].dtype)
+            tiles = tuple(
+                jnp.concatenate([v, z]).reshape(s + tpad, 8, d8) for v in x
+            )
         oyx = jnp.concatenate([
             jnp.stack([oy, ox], axis=-1).astype(jnp.int32),
             jnp.zeros((tpad, 2), jnp.int32),
         ]).reshape(s + tpad, 1, 2)
-        blocks = _grid_add_ranges_tiles(tiles, oyx, plan, interpret)
+        blocks = _grid_add_ranges_tiles(tiles, oyx, plan, interpret,
+                                        row_form=rows_form)
+        if rows_form:
+            # blocks come back in the (i, p·N + j) row form — convert to
+            # the flat (p, i, j) block order _blocks_to_grid expects
+            # (nbp·d floats, ~0.1 ms at the default problem)
+            blocks = tuple(
+                b.reshape(plan.nbp, n, p, n).transpose(0, 2, 1, 3)
+                for b in blocks
+            )
     elif apply_fft:
         # sparse plans (blocks ≫ subgrids, e.g. lofar4096/8192²): the
         # per-step in-kernel mask compares dominate on mostly-empty
@@ -1917,6 +1970,10 @@ def subgrids_to_grid_ranges(
         # piece kernel instead (measured 58.4 vs 45.8 ms at lofar4096)
         pad = range_pad_rows(plan)
         m_pad = 4 * s + pad
+        if rows_form:
+            raise ValueError("row-form tiles_pair is tile-path only "
+                             "(sparse plans materialize masked pieces); "
+                             "pass 4-D tiles for nbp > 2·S plans")
         if tiles_pair is not None:
             x = tiles_pair
         else:

@@ -299,6 +299,31 @@ def slice_staged(stg: Staged, lo: int, hi: int) -> Staged:
     return dataclasses.replace(stg, **updates)
 
 
+def pad_staged(stg: Staged, rows: int) -> Staged:
+    """Zero-pad the subgrid axis of every per-subgrid staged array to
+    `rows` total rows (replicated planes pass through). Used by the
+    fused-pieces pipeline runner to pre-pad the staging ONCE (outside
+    the timed window) so the kernel emits the range grid-add's padded
+    row count directly and the stage boundary is a pure bitcast — the
+    padded rows compute from zero visibilities, so their pieces are
+    zero (and the range kernel's run membership masks them regardless)."""
+    s = stg.uvw.shape[0]
+    if rows == s:
+        return stg
+    if rows < s:
+        raise ValueError(f"pad_staged: rows {rows} < staged rows {s}")
+    pad = rows - s
+    updates = {
+        name: jnp.pad(
+            getattr(stg, name),
+            [(0, pad)] + [(0, 0)] * (getattr(stg, name).ndim - 1),
+        )
+        for name in _PER_SUBGRID_FIELDS
+        if getattr(stg, name) is not None
+    }
+    return dataclasses.replace(stg, **updates)
+
+
 def fused_dft_factor_inputs(n: int, p_pols: int, inverse: bool):
     """Host-side constants for the fused grid-stage kernels (gridder
     epilogue / degridder prologue): the folded-shift DFT factors

@@ -755,7 +755,7 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                             poxc_ref, poyc_ref, mcol_ref, npack_ref, sph_ref,
                             *rest,
                             V, N, T, C, w_rank, precisions, batch,
-                            dbuf=False, fuse=False):
+                            dbuf=False, fuse=False, rows_out=False):
     """v5's body unrolled over `batch` subgrids per grid step: per-step
     fixed costs (DMA setup, grid bookkeeping) amortize across the batch.
     Each subgrid's Jones terms arrive through its own scalar-prefetch-
@@ -924,9 +924,20 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
             pieces, a2k_ref, (b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref), N,
         )
         for b, (o_re, o_im) in enumerate(outs):
-            for p in range(P_POLS):
-                out_re_ref[b, p] = o_re[:, p * N:(p + 1) * N]
-                out_im_ref[b, p] = o_im[:, p * N:(p + 1) * N]
+            if rows_out:
+                # [N, N·P] row form, written whole: exact (8,128) VMEM
+                # tiles at the default size (N·P = 128), no per-pol
+                # slicing — the consuming range kernel reads this shape
+                # directly (the [S,P,N,N] form's 32-lane trailing dim is
+                # physically lane-padded 4× under T(8,128) and XLA can't
+                # bitcast it into the range row form; round-5 trace:
+                # ~8 ms/pass of boundary copies)
+                out_re_ref[b] = o_re
+                out_im_ref[b] = o_im
+            else:
+                for p in range(P_POLS):
+                    out_re_ref[b, p] = o_re[:, p * N:(p + 1) * N]
+                    out_im_ref[b, p] = o_im[:, p * N:(p + 1) * N]
 
 
 def _fuse_io(fuse, fuse_oyx, s_pad, B, N, inverse: bool):
@@ -959,7 +970,7 @@ def _fuse_io(fuse, fuse_oyx, s_pad, B, N, inverse: bool):
 
 def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
                                  batch: int = 4, dbuf: bool = False,
-                                 fuse_oyx=None):
+                                 fuse_oyx=None, rows_out: bool = False):
     import dataclasses as _dc
 
     from .common import _PER_SUBGRID_FIELDS
@@ -983,9 +994,13 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
     if interpret is None:
         interpret = use_interpret()
     fuse = fuse_oyx is not None
+    if rows_out and not fuse:
+        raise ValueError("rows_out requires the fused epilogue (the row "
+                         "form is the range grid-add's input shape)")
     kernel = functools.partial(
         _kernel_sep_recur_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=batch, dbuf=dbuf, fuse=fuse,
+        rows_out=rows_out,
     )
     B = batch
 
@@ -1023,6 +1038,9 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ] + at_specs + fuse_specs,
         out_specs=(
+            pl.BlockSpec((B, N, N * P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, N * P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ) if rows_out else (
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
@@ -1034,6 +1052,9 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         ] * (2 if dbuf else 1),                               # per-parity sets
     )
     out_shape = (
+        jax.ShapeDtypeStruct((s_pad, N, N * P_POLS), jnp.float32),
+        jax.ShapeDtypeStruct((s_pad, N, N * P_POLS), jnp.float32),
+    ) if rows_out else (
         jax.ShapeDtypeStruct((s_pad, P_POLS, N, N), jnp.float32),
         jax.ShapeDtypeStruct((s_pad, P_POLS, N, N), jnp.float32),
     )
@@ -1048,6 +1069,13 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
         stg.wavenumbers, stg.po_x_col, stg.po_y_col, stg.mcol, npack, stg.sph,
         *at_inputs, *fuse_inputs,
     )
+    if rows_out:
+        # range grid-add row form [s_pad, N, N·P], emitted by the kernel
+        # directly (exact (8,128) tiling at N·P=128 — no lane padding,
+        # no boundary copy); the caller pre-padded the staging to the
+        # plan's padded row count so the composition with
+        # subgrids_to_grid_ranges has NO XLA op at the stage boundary
+        return re, im
     return re[:S], im[:S]
 
 
@@ -1076,7 +1104,7 @@ def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
 
 def gridder_pallas_v6_pieces(params, stg, oyx, interpret=None,
                              w_rank: int = 2, batch: int = 4,
-                             precisions=None):
+                             precisions=None, rows_out: bool = False):
     """v6 with the grid-stage producer fused into the kernel epilogue:
     returns phase-rolled iDFT PIECES ([S, P, N, N] row-major) ready for
     the range grid-add kernel (subgrids_to_grid_ranges(tiles_pair=...))
@@ -1094,7 +1122,7 @@ def gridder_pallas_v6_pieces(params, stg, oyx, interpret=None,
     transpose."""
     return _gridder_sep_recur_batch_run(
         params, stg, w_rank, precisions or gridder_precisions(w_rank),
-        interpret, batch, fuse_oyx=oyx,
+        interpret, batch, fuse_oyx=oyx, rows_out=rows_out,
     )
 
 

@@ -395,6 +395,35 @@ def test_gridder_fused_pieces_matches_producer(case):
                 atol=1e-5, err_msg=f"grid sparse={sparse} comp={i}",
             )
 
+        if not sparse:
+            # rows_out form: staging pre-padded to the plan's padded row
+            # count, kernel emits [R, N, N·P] directly, the range
+            # grid-add consumes it with zero boundary ops (the shipping
+            # fused-pipeline composition, api.staged_gridder_pieces_runner
+            # pad_rows=...)
+            from idg_tpu.ops.grid import tile_pad_rows
+            from idg_tpu.ops.pallas.common import pad_staged
+
+            plan = plan_grid_add_ranges(cx, cy, g, n)
+            s = cx.shape[0]
+            r = -(-(s + tile_pad_rows(plan)) // 4) * 4
+            got_rows = gridder_pallas_v6_pieces(
+                params, pad_staged(stg, r),
+                np.concatenate([oyx, np.zeros((r - s, 2), oyx.dtype)]),
+                rows_out=True,
+            )
+            assert got_rows[0].shape == (r, n,
+                                         n * params.nr_correlations)
+            c = subgrids_to_grid_ranges(None, md.coord_x, md.coord_y, g,
+                                        apply_fft=True, interpret=True,
+                                        plan=plan, tiles_pair=got_rows)
+            for i in (0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(c[i]) / gscale,
+                    np.asarray(a[i]) / gscale,
+                    atol=1e-5, err_msg=f"rows-form grid comp={i}",
+                )
+
 
 @pytest.mark.slow
 def test_degridder_fused_pieces_matches_producer():
