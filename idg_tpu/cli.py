@@ -615,7 +615,7 @@ def cmd_pipeline(args) -> int:
                 if len(bounds_) == 1:
                     out = jax.jit(lambda gr: grid_to_subgrids_ranges(
                         gr, cx, cy, n, apply_fft=True, plan=eplan,
-                        pieces=True))(grid_pair)
+                        pieces="rows"))(grid_pair)
                 else:
                     lo, hi = bounds_[0]
                     mc_ = hi - lo
@@ -629,7 +629,7 @@ def cmd_pipeline(args) -> int:
                         )
                         return grid_to_subgrids_ranges(
                             gr, cx_c, cy_c, n, apply_fft=True, plan=p_,
-                            pieces=True)
+                            pieces="rows")
 
                     out = jax.jit(esh)(grid_pair, sp.qb0, sp.tmeta,
                                        cxn_[lo:hi], cyn_[lo:hi])
@@ -666,7 +666,7 @@ def cmd_pipeline(args) -> int:
                 )
                 return grid_to_subgrids_ranges(
                     gr, cx_c, cy_c, n, apply_fft=True, plan=sp,
-                    pieces=fused,
+                    pieces="rows" if fused else False,
                 )
 
             efn_one = jax.jit(eshim)
@@ -699,7 +699,8 @@ def cmd_pipeline(args) -> int:
                     params, obs, version, w_rank=args.w_rank
                 )
             efn = jax.jit(lambda gr: grid_to_subgrids_ranges(
-                gr, cx, cy, n, apply_fft=True, plan=eplan, pieces=fused))
+                gr, cx, cy, n, apply_fft=True, plan=eplan,
+                pieces="rows" if fused else False))
 
             def grid_stage(gr):
                 # leading-axis output slice (probe5: keeps kernel speed,

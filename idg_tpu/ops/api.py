@@ -770,8 +770,10 @@ def staged_degridder_pieces_chunk_consumers(params: IDGParams,
                                             align: int = 1,
                                             sample_fn=None):
     """Fused duals of staged_degridder_chunk_consumers: each consumer
-    takes the range extraction's block-rolled PIECES ([rows, P, N, N]
-    row-major, grid_to_subgrids_ranges(pieces=True)) and runs the
+    takes the range extraction's block-rolled PIECES — [rows, P, N, N]
+    (grid_to_subgrids_ranges(pieces=True)) or the zero-copy native row
+    form [rows, N, N·P] (pieces="rows", auto-detected from the operand
+    rank; the shipping pipeline default) — and runs the
     forward DFT + roll-back INSIDE the degridder kernel
     (degridder_pallas_v7/v8 fused prologue) — no XLA producer dots and
     no subgrid intermediate at the stage boundary, the degrid mirror of

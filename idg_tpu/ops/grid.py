@@ -1191,11 +1191,17 @@ def slice_extract_plan(plan: GridExtractRangePlan, lo: int,
                                 plan.subgrid_size)
 
 
-def _grid_to_blocks_padded(grid: Pair, n: int, k_span: int) -> Pair:
+def _grid_to_blocks_padded(grid: Pair, n: int, k_span: int,
+                           row_form: bool = False) -> Pair:
     """[P, G, G] grid → periodic-padded unwrapped block rows
     [(nby+1)·(nbx+1) + pad, 8, d8] (wrap pad, pure reshape/transpose,
     plus zero rows so both aligned k_span-windows of any in-range start
-    — including the +nbu+1 quadrant offset — stay in bounds)."""
+    — including the +nbu+1 quadrant offset — stay in bounds).
+
+    `row_form`: rows are [(i, p·N + j)] shaped [..., N, N·P] instead of
+    the flat (p, i, j) [..., 8, d8] — the degridder fused prologue's
+    native input shape (exact (8,128) tiles at N·P = 128; see
+    _grid_add_ranges_tiles_call for the gridder-direction mirror)."""
     p, g, _ = grid[0].shape
     nb1 = g // n + 1
     d = p * n * n
@@ -1205,17 +1211,22 @@ def _grid_to_blocks_padded(grid: Pair, n: int, k_span: int) -> Pair:
     out = []
     for v in grid:
         vp = jnp.pad(v, ((0, 0), (0, n), (0, n)), mode="wrap")
-        rows = (vp.reshape(p, nb1, n, nb1, n)
-                .transpose(1, 3, 0, 2, 4)
-                .reshape(nb1 * nb1, 8, d // 8))
+        if row_form:
+            rows = (vp.reshape(p, nb1, n, nb1, n)
+                    .transpose(1, 3, 2, 0, 4)
+                    .reshape(nb1 * nb1, n, p * n))
+        else:
+            rows = (vp.reshape(p, nb1, n, nb1, n)
+                    .transpose(1, 3, 0, 2, 4)
+                    .reshape(nb1 * nb1, 8, d // 8))
         out.append(jnp.concatenate(
-            [rows, jnp.zeros((pad, 8, d // 8), rows.dtype)]
+            [rows, jnp.zeros((pad,) + rows.shape[1:], rows.dtype)]
         ))
     return tuple(out)
 
 
 def _grid_extract_ranges(blocks: Pair, plan: GridExtractRangePlan,
-                         interpret) -> Pair:
+                         interpret, row_form: bool = False) -> Pair:
     """Chunked tile gather: per chunk, 4 static-height block windows (one
     per quadrant, data-dependent index maps off the qb0 scalar table) +
     a [wc,1,4] per-tile meta window; the kernel composes each ROLLED
@@ -1244,9 +1255,13 @@ def _grid_extract_ranges(blocks: Pair, plan: GridExtractRangePlan,
         ox_r = tm[:, :, 2:3]
         r_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 1)
         c_iota = lax.broadcasted_iota(jnp.int32, (1, eight, d8), 2)
-        flat = r_iota * d8 + c_iota
-        i_map = (flat // n) % n
-        j_map = flat % n
+        if row_form:
+            i_map = r_iota
+            j_map = c_iota % n
+        else:
+            flat = r_iota * d8 + c_iota
+            i_map = (flat // n) % n
+            j_map = flat % n
         acc = jnp.zeros((wc, eight, d8), jnp.float32)
         for q, (qy, qx) in enumerate(_QUADRANTS):
             bstart = qb0_ref[v] + qoffs[q]
@@ -1317,8 +1332,12 @@ def grid_to_subgrids_ranges(
     pieces=True returns the block-rolled image-domain PIECES ([S, P, N, N]
     row-major, BEFORE the forward DFT + roll-back) for a downstream
     consumer that fuses the DFT into its own kernel (the degridder's
-    fused prologue). Not available on the fallback paths — callers must
-    pre-check extract_ranges_eligible."""
+    fused prologue); pieces="rows" returns them in the prologue's NATIVE
+    row form [S, N, N·P] (element (i, p·N + j), exact (8,128) tiles at
+    N·P = 128 — the [S,P,N,N] form's 32-lane trailing dim is physically
+    lane-padded 4× under T(8,128), costing ~8.8 ms/pass of XLA boundary
+    copies at the default problem; round-5 trace). Not available on the
+    fallback paths — callers must pre-check extract_ranges_eligible."""
     from .pallas.common import use_interpret
 
     if interpret is None:
@@ -1342,8 +1361,13 @@ def grid_to_subgrids_ranges(
                              "(plan not eligible)")
         return grid_to_subgrids(grid, coord_x, coord_y, n, apply_fft)
     s = plan.nr_subgrids
-    blocks = _grid_to_blocks_padded(grid, n, plan.k_span)
-    rolled = _grid_extract_ranges(blocks, plan, interpret)
+    row_form = pieces == "rows"
+    blocks = _grid_to_blocks_padded(grid, n, plan.k_span,
+                                    row_form=row_form)
+    rolled = _grid_extract_ranges(blocks, plan, interpret,
+                                  row_form=row_form)
+    if row_form:
+        return tuple(v[:s] for v in rolled)
     rolled = tuple(v[:s].reshape(s, p, n, n) for v in rolled)
     if pieces:
         return rolled
@@ -1881,13 +1905,14 @@ def subgrids_to_grid_ranges(
     output, e.g. from the fused gridder epilogue,
     pallas.gridder.gridder_pallas_v6_pieces) and skips the producer
     entirely; `sub` is ignored and apply_fft must be True. Entries may
-    be [S, P, N, N] (padded/reshaped here) or ALREADY in the range
-    kernel's padded row form [R, 8, P·N²/8] with R ≥ S +
-    tile_pad_rows(plan) (requires `plan`, tile path only): the fused
-    kernel emits that form directly (rows_out=True) so the composition
-    has no boundary pad/relayout at all (round-5 trace: the XLA
-    pad+copy chain on the 4D form cost ~10.7 ms/pass at the default
-    problem)."""
+    be [S, P, N, N] (padded/reshaped here) or ALREADY in the kernel's
+    native padded row form [R, N, N·P] (element (i, p·N + j)) with
+    R ≥ S + tile_pad_rows(plan) (requires `plan`, tile path only): the
+    fused gridder epilogue emits that form directly (rows_out=True) and
+    the range kernel reads it natively, so the composition has no
+    boundary op at all — the 4-D form's 32-lane trailing dim is
+    physically lane-padded 4× under T(8,128) and cost ~10.7 ms/pass of
+    XLA pad+relayout copies at the default problem (round-5 trace)."""
     from .pallas.common import use_interpret
 
     if interpret is None:

@@ -900,7 +900,7 @@ def _kernel_polstack_batch(aidx, st1, st2,
                            V, N, T, C, w_rank, precisions, batch, ablate="",
                            cfold=False, qsplit=False, hswap=False,
                            sstore=False, dbuf=False, swpipe=False,
-                           kmerge=0, fuse=False):
+                           kmerge=0, fuse=False, rows_in=False):
     """v6's body unrolled over `batch` subgrids per grid step (see
     gridder pallas_v6 for the amortization rationale).
 
@@ -1027,13 +1027,21 @@ def _kernel_polstack_batch(aidx, st1, st2,
         from .gridder import _fused_dft_apply, _roll_phase_outer
 
         NP = N * P_POLS
-        pcs = [
-            (jnp.concatenate([sub_re_ref[b, p] for p in range(P_POLS)],
-                             axis=1),
-             jnp.concatenate([sub_im_ref[b, p] for p in range(P_POLS)],
-                             axis=1))
-            for b in range(batch)
-        ]
+        if rows_in:
+            # pieces arrive in the prologue's native [N, N·P] row form
+            # (grid_to_subgrids_ranges(pieces="rows")): no per-pol
+            # concat, and the HBM array carries exact (8,128) tiles —
+            # the 4-D form's 32-lane dim is physically lane-padded 4×
+            # and cost ~8.8 ms/pass of XLA boundary copies
+            pcs = [(sub_re_ref[b], sub_im_ref[b]) for b in range(batch)]
+        else:
+            pcs = [
+                (jnp.concatenate([sub_re_ref[b, p] for p in range(P_POLS)],
+                                 axis=1),
+                 jnp.concatenate([sub_im_ref[b, p] for p in range(P_POLS)],
+                                 axis=1))
+                for b in range(batch)
+            ]
         outs = _fused_dft_apply(
             pcs, a2k_ref, (b4ra_ref, b4rb_ref, b4ia_ref, b4ib_ref), N,
         )
@@ -1054,6 +1062,10 @@ def _kernel_polstack_batch(aidx, st1, st2,
         # ablate == "fuse_raw" (debug-only, wrong results): prologue
         # computes + stores but the main loop consumes the raw refs —
         # attributes prologue compute vs its consumption coupling
+        if rows_in:
+            return [(sub_re_ref[b][:, p * N:(p + 1) * N],
+                     sub_im_ref[b][:, p * N:(p + 1) * N])
+                    for p in range(P_POLS)]
         return [(sub_re_ref[b, p], sub_im_ref[b, p]) for p in range(P_POLS)]
 
     if swpipe:
@@ -1484,11 +1496,15 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
     if interpret is None:
         interpret = use_interpret()
     fuse = fuse_oyx is not None
+    # the fused prologue accepts pieces in its native [S, N, N·P] row
+    # form (grid_to_subgrids_ranges(pieces="rows")) — zero-copy stage
+    # boundary; detected from the operand rank
+    rows_in = fuse and subgrids[0].ndim == 3
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=B, ablate=ablate, cfold=cfold,
         qsplit=qsplit, hswap=hswap, sstore=sstore, dbuf=dbuf, swpipe=swpipe,
-        kmerge=kmerge, fuse=fuse,
+        kmerge=kmerge, fuse=fuse, rows_in=rows_in,
     )
 
     def at_spec(sel, b):
@@ -1522,8 +1538,13 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
             pl.BlockSpec((B, N, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, 1), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ] + ([
+            pl.BlockSpec((B, N, N * P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N, N * P_POLS), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ] if rows_in else [
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P_POLS, N, N), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]) + [
             pl.BlockSpec((N, N), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ] + at_specs + fuse_specs,
         out_specs=(

@@ -1119,7 +1119,11 @@ def gridder_pallas_v6_pieces(params, stg, oyx, interpret=None,
     stage 1; [B·2N, NP]×[NP, NP] 3x stage 2). Because the pieces leave
     the kernel row-major, this also skips both the producer's S-minor →
     row-major relayout and the pipeline's explicit S-minor boundary
-    transpose."""
+    transpose. `rows_out=True` (with staging pre-padded to the plan's
+    padded row count, see api.staged_gridder_pieces_runner) emits the
+    range kernel's NATIVE row form [R, N, N·P] instead — zero boundary
+    ops (see the in-kernel comment for the T(8,128) lane-padding
+    rationale)."""
     return _gridder_sep_recur_batch_run(
         params, stg, w_rank, precisions or gridder_precisions(w_rank),
         interpret, batch, fuse_oyx=oyx, rows_out=rows_out,

@@ -228,6 +228,116 @@ def fused_section():
     return rows
 
 
+def fused_rows_section():
+    """The SHIPPING zero-copy row-form boundaries (round 5): gridder
+    rows_out pieces -> range grid-add, and extraction pieces="rows" ->
+    degridder fused prologue, vs the producer compositions — on a
+    mid-size TILE-PATH problem (the check problem's plan is sparse, so
+    the gridder row form doesn't apply there)."""
+    import dataclasses as dc
+
+    import jax
+    import numpy as np
+
+    from idg_tpu import IDGParams, make_observation
+    from idg_tpu.ops.common import canonical_time_offsets
+    from idg_tpu.ops.grid import (extract_ranges_eligible,
+                                  grid_to_subgrids_ranges,
+                                  plan_grid_add_ranges,
+                                  plan_grid_extract_ranges,
+                                  sort_observation_blocks,
+                                  subgrids_to_grid_ranges, tile_pad_rows)
+    from idg_tpu.ops.pallas import STAGED
+    from idg_tpu.ops.pallas.common import pad_staged
+    from idg_tpu.ops.pallas.degridder import degridder_pallas_v7_staged
+    from idg_tpu.ops.pallas.gridder import gridder_pallas_v6_pieces
+    from idg_tpu.types import split_observation
+
+    rows = []
+    params = IDGParams(grid_size=1024, subgrid_size=32, nr_stations=14,
+                       nr_timeslots=6, nr_timesteps_subgrid=32,
+                       nr_channels=16)  # S=546 ≥ nbp/2=512: tile path
+    g, n = params.grid_size, params.subgrid_size
+    obs, _ = make_observation(params)
+    obs, _ = sort_observation_blocks(obs, g, n)
+    md = obs.metadata
+    cxn = np.asarray(md.coord_x)
+    cyn = np.asarray(md.coord_y)
+    s = cxn.shape[0]
+    oyx = np.stack([
+        (cyn.astype(np.int64) % g % n),
+        (cxn.astype(np.int64) % g % n),
+    ], axis=-1).astype(np.int32)
+
+    def rel_rms(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-30, float(np.sqrt(np.mean(a ** 2))))
+        return float(np.sqrt(np.mean((a - b) ** 2))) / denom
+
+    plan = plan_grid_add_ranges(cxn, cyn, g, n)
+    if plan.nbp <= 2 * s:
+        sobs = split_observation(obs)
+        stage_fn, run_fn = STAGED[("gridder", "pallas_v6")]
+        stg = jax.jit(
+            lambda p, so: stage_fn(p, so, with_vis=True), static_argnums=0
+        )(params, sobs)
+        sub = run_fn(params, stg)
+        exp = subgrids_to_grid_ranges(sub, md.coord_x, md.coord_y, g,
+                                      apply_fft=True, plan=plan)
+        r = -(-(s + tile_pad_rows(plan)) // 4) * 4
+        rpieces = gridder_pallas_v6_pieces(
+            params, pad_staged(stg, r),
+            np.concatenate([oyx, np.zeros((r - s, 2), oyx.dtype)]),
+            rows_out=True,
+        )
+        got = subgrids_to_grid_ranges(None, md.coord_x, md.coord_y, g,
+                                      apply_fft=True, plan=plan,
+                                      tiles_pair=rpieces)
+        err = max(rel_rms(exp[0], got[0]), rel_rms(exp[1], got[1]))
+        ok = err < 1e-5
+        rows.append("| gridder rows_out pieces -> range grid-add "
+                    f"(zero-copy) | {'PASSED' if ok else 'FAILED'} "
+                    f"| {err:.2e} |")
+        del stg, sub, exp, rpieces, got
+    else:
+        rows.append("| gridder rows_out pieces | SKIPPED (sparse plan) "
+                    "| - |")
+
+    eplan = plan_grid_extract_ranges(md.coord_x, md.coord_y, g, n)
+    if extract_ranges_eligible(eplan, params.nr_correlations, g, n):
+        rng = np.random.default_rng(7)
+        grid_pair = tuple(
+            rng.normal(size=(params.nr_correlations, g, g))
+            .astype(np.float32) for _ in range(2)
+        )
+        subs = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y,
+                                       n, apply_fft=True, plan=eplan)
+        rpcs = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y,
+                                       n, apply_fft=True, plan=eplan,
+                                       pieces="rows")
+        dstage_fn, _ = STAGED[("degridder", "pallas_v7")]
+        dsobs = dc.replace(split_observation(obs), vis_re=None,
+                           vis_im=None)
+        canonical = canonical_time_offsets(md, params.nr_timesteps_subgrid)
+        dstg = jax.jit(
+            lambda p, so: dstage_fn(p, so, canonical=canonical,
+                                    with_vis=False),
+            static_argnums=0,
+        )(params, dsobs)
+        ref = degridder_pallas_v7_staged(params, dstg, subs, w_rank=2)
+        fus = degridder_pallas_v7_staged(params, dstg, rpcs, w_rank=2,
+                                         fuse_oyx=oyx)
+        err = max(rel_rms(ref[0], fus[0]), rel_rms(ref[1], fus[1]))
+        ok = err < 1e-5
+        rows.append("| row-form extract -> degridder fused prologue "
+                    f"(zero-copy) | {'PASSED' if ok else 'FAILED'} "
+                    f"| {err:.2e} |")
+    else:
+        rows.append("| row-form extract -> degridder fused prologue | "
+                    "SKIPPED (plan not range-eligible) | - |")
+    return rows
+
+
 def mesh_section():
     """mesh(1) shard_map parity vs the unsharded staged kernels."""
     import jax
@@ -369,6 +479,22 @@ def main() -> int:
         "|---|---|---|",
     ]
     lines += fused_section()
+
+    lines += [
+        "",
+        "## Zero-copy row-form boundaries (round 5, the shipping",
+        "pipeline defaults)",
+        "",
+        "The pieces cross the stage boundary in the kernels' native",
+        "[R, N, N·P] row form (exact (8,128) tiles; no XLA op at the",
+        "boundary), vs the producer compositions — mid-size tile-path",
+        "problem (grid 1024², S=900; the check problem's grid-add plan",
+        "is sparse).",
+        "",
+        "| composition | result | error |",
+        "|---|---|---|",
+    ]
+    lines += fused_rows_section()
 
     lines += [
         "",

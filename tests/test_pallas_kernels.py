@@ -346,7 +346,7 @@ def test_gridder_fused_pieces_matches_producer(case):
     cases = {
         # tile path: S = 40 >= nbp/2 = 32
         "tile": IDGParams(grid_size=128, subgrid_size=16, nr_stations=5,
-                          nr_timeslots=4, nr_timesteps_subgrid=16,
+                          nr_timeslots=4, nr_timesteps_subgrid=8,
                           nr_channels=8),
         # sparse path: S = 6 < 32
         "sparse": IDGParams(grid_size=128, subgrid_size=16, nr_stations=3,
@@ -385,15 +385,19 @@ def test_gridder_fused_pieces_matches_producer(case):
 
         a = subgrids_to_grid_ranges(sub, md.coord_x, md.coord_y, g,
                                     apply_fft=True, interpret=True)
-        b = subgrids_to_grid_ranges(None, md.coord_x, md.coord_y, g,
-                                    apply_fft=True, interpret=True,
-                                    tiles_pair=got)
         gscale = max(float(np.abs(np.asarray(a[0])).max()), 1.0)
-        for i in (0, 1):
-            np.testing.assert_allclose(
-                np.asarray(b[i]) / gscale, np.asarray(a[i]) / gscale,
-                atol=1e-5, err_msg=f"grid sparse={sparse} comp={i}",
-            )
+        if sparse:
+            # sparse plans consume the 4-D pieces (masked-piece path —
+            # the shipping form there); the tile case checks the
+            # shipping rows_out form below instead
+            b = subgrids_to_grid_ranges(None, md.coord_x, md.coord_y, g,
+                                        apply_fft=True, interpret=True,
+                                        tiles_pair=got)
+            for i in (0, 1):
+                np.testing.assert_allclose(
+                    np.asarray(b[i]) / gscale, np.asarray(a[i]) / gscale,
+                    atol=1e-5, err_msg=f"grid sparse={sparse} comp={i}",
+                )
 
         if not sparse:
             # rows_out form: staging pre-padded to the plan's padded row
@@ -487,3 +491,20 @@ def test_degridder_fused_pieces_matches_producer():
         denom = max(1e-30, float(np.sqrt(np.mean(a ** 2))))
         rms = float(np.sqrt(np.mean((a - b) ** 2))) / denom
         assert rms < 1e-5, f"comp {i} rel-RMS {rms:.3e}"
+
+    # row-form pieces (the shipping pipeline boundary): the extraction
+    # emits [S, N, N·P] natively and the prologue consumes it with zero
+    # boundary ops; must match the 4-D pieces composition
+    rows = grid_to_subgrids_ranges(grid_pair, md.coord_x, md.coord_y, n,
+                                   apply_fft=True, plan=eplan,
+                                   pieces="rows", interpret=True)
+    assert rows[0].shape == (oyx.shape[0], n, n * params.nr_correlations)
+    exp = np.transpose(np.asarray(pieces[0]), (0, 2, 1, 3)).reshape(
+        rows[0].shape)
+    np.testing.assert_allclose(np.asarray(rows[0]), exp, atol=0,
+                               err_msg="row-form extraction reorder")
+    got_r = degridder_pallas_v7_staged(params, stg, rows, w_rank=2,
+                                       fuse_oyx=oyx, interpret=True)
+    for i, (a, b) in enumerate(zip(got, got_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.array_equal(a, b), f"rows-in comp {i} not bit-identical"
