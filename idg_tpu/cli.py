@@ -145,6 +145,27 @@ def _perf_one(workload: str, version: str, mesh_size: int | None,
             workload, rversion, params, obs, subgrids, w_rank=rw_rank
         )
 
+    from .ops.pallas import STAGED as _STAGED
+
+    if mesh_size and (workload, rversion) in _STAGED \
+            and os.environ.get("IDG_STAGE_LAYOUT", "match").lower() == "match":
+        # AOT input-format match for the mesh staged path, mirroring
+        # staged_runner's 'match' policy: device_put the sharded staged
+        # inputs into the compiled executable's own preferred layouts so
+        # no per-launch relayout copies remain (the round-5 mesh-1 trace
+        # showed ~6.4 ms/pass of {0,3,2,1}→{3,2,1,0} input copies on the
+        # subgrid pair alone).
+        try:
+            compiled = fn.lower(*args).compile()
+            in_fmt = compiled.input_formats[0]
+            args = tuple(jax.device_put(a, f)
+                         for a, f in zip(args, in_fmt))
+            jax.block_until_ready(jax.tree_util.tree_leaves(args))
+            fn = compiled
+        except Exception as e:  # noqa: BLE001 — downgrade, but say so
+            print(f"[idg-tpu] mesh staged: AOT layout-matched dispatch "
+                  f"unavailable ({type(e).__name__}); plain jit")
+
     timing = time_kernel(fn, *args, harness=harness)
     gflops, gbytes, mvis = workload_costs(params)
     fb = "_fb" if rversion != version else ""

@@ -1496,10 +1496,13 @@ def _degridder_polstack_batch_run(params, stg, subgrids, w_rank, precisions,
     if interpret is None:
         interpret = use_interpret()
     fuse = fuse_oyx is not None
-    # the fused prologue accepts pieces in its native [S, N, N·P] row
-    # form (grid_to_subgrids_ranges(pieces="rows")) — zero-copy stage
-    # boundary; detected from the operand rank
-    rows_in = fuse and subgrids[0].ndim == 3
+    # [S, N, N·P] row-form subgrids/pieces (detected from the operand
+    # rank): the fused prologue's zero-copy pipeline boundary
+    # (grid_to_subgrids_ranges(pieces="rows")), and the staged
+    # benchmark's input layout — the 4-D form's 32-lane trailing dim is
+    # physically lane-padded 4× under T(8,128), so reading it costs 4×
+    # the subgrid HBM bytes
+    rows_in = subgrids[0].ndim == 3
     kernel = functools.partial(
         _kernel_polstack_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=B, ablate=ablate, cfold=cfold,

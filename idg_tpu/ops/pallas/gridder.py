@@ -883,6 +883,17 @@ def _kernel_sep_recur_batch(aidx, st1, st2,
                   for p in range(P_POLS)]
             ep = _epilogue(pix, sph, a1, a2)
             if not fuse:
+                if rows_out:
+                    # [N, N·P] row form (lane-concat of the per-pol
+                    # tiles, same move the fused epilogue pays): the
+                    # [S,P,N,N] form's 32-lane trailing dim is
+                    # physically lane-padded 4× under T(8,128), so the
+                    # 4-D output writes 4× the HBM bytes
+                    out_re_ref[b] = jnp.concatenate(
+                        [r_ for r_, _ in ep], axis=1)
+                    out_im_ref[b] = jnp.concatenate(
+                        [i_ for _, i_ in ep], axis=1)
+                    return
                 for p, (r_, i_) in enumerate(ep):
                     out_re_ref[b, p] = r_
                     out_im_ref[b, p] = i_
@@ -994,9 +1005,6 @@ def _gridder_sep_recur_batch_run(params, stg, w_rank, precisions, interpret,
     if interpret is None:
         interpret = use_interpret()
     fuse = fuse_oyx is not None
-    if rows_out and not fuse:
-        raise ValueError("rows_out requires the fused epilogue (the row "
-                         "form is the range grid-add's input shape)")
     kernel = functools.partial(
         _kernel_sep_recur_batch, V=V, N=N, T=T, C=C, w_rank=w_rank,
         precisions=precisions, batch=batch, dbuf=dbuf, fuse=fuse,
@@ -1095,10 +1103,10 @@ def gridder_pallas_v6(params: IDGParams, sobs: SplitObservation,
 
 def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
                              batch: int = 4, precisions=None,
-                             dbuf: bool = False):
+                             dbuf: bool = False, rows_out: bool = False):
     return _gridder_sep_recur_batch_run(
         params, stg, w_rank, precisions or gridder_precisions(w_rank),
-        interpret, batch, dbuf,
+        interpret, batch, dbuf, rows_out=rows_out,
     )
 
 

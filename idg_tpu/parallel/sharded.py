@@ -282,6 +282,19 @@ def shard_staged_inputs(params: IDGParams, sobs: SplitObservation,
     if subgrids is not None:
         spair = distribute_subgrid_pair(
             split_complex(subgrids), mesh, s_pad)
+        if workload == "degridder" and version in ("pallas_v7", "pallas_v8"):
+            # rows form [S, N, N·P] (bit-identical input data; the
+            # polstack-batch kernels auto-detect it): the 4-D pair's
+            # (N, N) minors force a padded tiled jit-boundary layout and
+            # XLA inserts a ~6.4 ms/pass S-minor→row-major copy plus
+            # slow per-chunk slice fusions at fullsize (round-5 mesh-1
+            # trace); the rows form tiles exactly, so the boundary is
+            # clean. One-time conversion, outside the timed window.
+            n, pp = params.subgrid_size, params.nr_correlations
+            spair = jax.jit(lambda s_: tuple(
+                jnp.transpose(v, (0, 2, 1, 3)).reshape(
+                    v.shape[0], n, pp * n) for v in s_))(spair)
+            jax.block_until_ready(spair)
     return stg_sharded, spair
 
 
@@ -315,21 +328,26 @@ def sharded_gridder_staged(params: IDGParams, mesh: Mesh, version: str,
     p_pols, n = params.nr_correlations, params.subgrid_size
 
     def fn(stg):
+        def body(st):
+            out = run_fn(params, st)
+            if slim:
+                # leading-axis slice INSIDE the body, on the raw kernel
+                # output (a single pallas_call — opaque, nothing to
+                # dead-code): the full results never cross the shard_map
+                # boundary, so no full-size tiled boundary layout is
+                # materialized per launch (see ops.api.staged_runner's
+                # _slim and the degridder's _slim_local)
+                out = tuple(v[:1] for v in out)
+            return tuple(v.reshape(v.shape[0], -1) for v in out)
+
         local = jax.shard_map(
-            lambda st: tuple(
-                v.reshape(v.shape[0], -1) for v in run_fn(params, st)
-            ),
+            body,
             mesh=mesh, in_specs=(_staged_partition_specs(stg, axis),),
             out_specs=(P(axis), P(axis)), check_vma=False,
         )
         re, im = local(stg)
         re = re.reshape(-1, p_pols, n, n)
         im = im.reshape(-1, p_pols, n, n)
-        if slim:
-            # leading-axis output slice: full results stay internal temps
-            # instead of per-launch persistent outputs with padded tiled
-            # jit-boundary layouts (see ops.api.staged_runner's _slim)
-            return re[:1], im[:1]
         return re, im
 
     return jax.jit(fn)
@@ -342,16 +360,35 @@ def sharded_degridder_staged(params: IDGParams, mesh: Mesh, version: str,
     `raw` skip their internal [S,P,V]→[S,T,C,P] transpose inside the body
     (its tiled boundary copy pads 32×, a compile-time OOM at fullsize)
     and transpose outside the shard_map instead."""
+    from ..ops.pallas.degridder import MAX_CHUNK
+
     run_fn, raw = _staged_run_fn("degridder", version, w_rank, raw=True)
     axis = tuple(mesh.axis_names)
     t, c = params.nr_timesteps_subgrid, params.nr_channels
     p_pols = params.nr_correlations
 
+    def _slim_local(v):
+        # one unit row per internal kernel chunk, sliced INSIDE the
+        # shard_map body so slice-of-concat folds into per-chunk slices:
+        # (a) a bare [:1] lets XLA dead-code all but the first _chunked
+        # launch (measured as an impossible 20.6 ms "pass"), (b) a
+        # strided [::1024] slice lowers as two full-array relayout
+        # copies (~44 ms/pass), and (c) slicing OUTSIDE the shard_map
+        # materializes the full per-shard output at the boundary with a
+        # padded tiled layout (~15 ms/pass) — per-chunk unit slices in
+        # the body keep every launch live for ~3 output rows, free.
+        idx = list(range(0, v.shape[0], MAX_CHUNK))
+        return jnp.concatenate([v[i:i + 1] for i in idx], axis=0)
+
     def fn(stg, sub):
+        def body(st, su):
+            out = run_fn(params, st, su)
+            if slim:
+                out = tuple(_slim_local(v) for v in out)
+            return tuple(v.reshape(v.shape[0], -1) for v in out)
+
         local = jax.shard_map(
-            lambda st, su: tuple(
-                v.reshape(v.shape[0], -1) for v in run_fn(params, st, su)
-            ),
+            body,
             mesh=mesh,
             in_specs=(_staged_partition_specs(stg, axis),
                       (P(axis), P(axis))),
@@ -367,9 +404,6 @@ def sharded_degridder_staged(params: IDGParams, mesh: Mesh, version: str,
         else:
             re = re.reshape(-1, t, c, p_pols)
             im = im.reshape(-1, t, c, p_pols)
-        if slim:
-            # see sharded_gridder_staged
-            return re[:1], im[:1]
         return re, im
 
     return jax.jit(fn)
