@@ -106,7 +106,16 @@ def gridder_precisions(w_rank: int):
     return ("3x", "default") if w_rank <= 2 else ("3x",) * w_rank
 
 
-def _fused_dft_apply(pcs, a2k_ref, b4_refs, N):
+def _fuse_pack() -> bool:
+    """Trace-time knob for the fully-packed fused-DFT schedule (one dot
+    per stage instead of the K-packed 2-pass pairs). IDG_FUSE_PACK=1/0
+    overrides; see _fused_dft_apply."""
+    import os
+
+    return os.environ.get("IDG_FUSE_PACK", "0") == "1"
+
+
+def _fused_dft_apply(pcs, a2k_ref, b4_refs, N, pack=None):
     """Shared MXU core of the fused grid-stage kernel halves: apply the
     constant pre-split folded-shift DFT factors to a step's per-subgrid
     [N, NP] tiles (roll phases already on the tile — see
@@ -123,6 +132,8 @@ def _fused_dft_apply(pcs, a2k_ref, b4_refs, N):
     tile-side phases."""
     NP = pcs[0][0].shape[1]
     batch = len(pcs)
+    if pack is None:
+        pack = _fuse_pack()
 
     def _split(x):
         h = x.astype(jnp.bfloat16)
@@ -154,8 +165,27 @@ def _fused_dft_apply(pcs, a2k_ref, b4_refs, N):
     if NP % 128 == 0:
         pr = jnp.concatenate([r_ for r_, _ in pcs], axis=1)  # [N, B·NP]
         pi = jnp.concatenate([i_ for _, i_ in pcs], axis=1)
-        t1 = dot_k(pr)                                       # [2N, B·NP]
-        t2 = dot_k(pi)
+        if pack:
+            # fully K/column-packed schedule (kmerge precedent: fewer,
+            # larger dots amortize per-pass drain overheads; MXU-internal
+            # accumulation regroups the split-product sums — comparator-
+            # gated, not bit-identical to the 2-pass form):
+            #   stage 1: ONE dot  [2N, 4N] × [4N, 2·B·NP]   (was 4)
+            #   stage 2: ONE dot  [B·2N, 4NP] × [4NP, 2NP]  (was 4)
+            l2k2 = jnp.concatenate([l2, l2], axis=1)         # [2N, 4N]
+
+            def krhs(p_):
+                ph_, pl_ = _split(p_)
+                return jnp.concatenate(
+                    [jnp.concatenate([ph_, pl_], axis=0),
+                     jnp.concatenate([pl_, ph_], axis=0)], axis=0)
+
+            t12 = _d(l2k2, jnp.concatenate([krhs(pr), krhs(pi)], axis=1))
+            w = batch * NP
+            t1, t2 = t12[:, 0:w], t12[:, w:2 * w]
+        else:
+            t1 = dot_k(pr)                                   # [2N, B·NP]
+            t2 = dot_k(pi)
         tmp_re = t1[0:N] - t2[N:2 * N]
         tmp_im = t2[0:N] + t1[N:2 * N]
         t2m = jnp.concatenate(
@@ -164,7 +194,18 @@ def _fused_dft_apply(pcs, a2k_ref, b4_refs, N):
              for b in range(batch)],
             axis=0,
         )                                                    # [B·2N, NP]
-        u1, u2 = stage2(t2m)
+        if pack:
+            th, tl = _split(t2m)
+            # same [th|tl] LHS for both K-pair factors (the _b factors
+            # carry the swapped halves themselves)
+            tk2 = jnp.concatenate([th, tl, th, tl], axis=1)  # [B·2N, 4NP]
+            bmat = jnp.concatenate(
+                [jnp.concatenate([b4r_a, b4i_a], axis=1),
+                 jnp.concatenate([b4r_b, b4i_b], axis=1)], axis=0)
+            u12 = _d(tk2, bmat)                              # [B·2N, 2NP]
+            u1, u2 = u12[:, 0:NP], u12[:, NP:2 * NP]
+        else:
+            u1, u2 = stage2(t2m)
         outs = []
         for b in range(batch):
             lo = b * 2 * N

@@ -219,6 +219,21 @@ def test_cli_pipeline_fused_default(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_pipeline_fused_tile_path_rows_form(tmp_path):
+    """Tile-path plans (nbp <= 2·S: stations=5 × timeslots=4 → S=40 ≥
+    nbp/2 = 32 at grid 128/subgrid 16) engage the zero-copy row-form
+    boundary (staged_gridder_pieces_runner pad_rows=..., kernel
+    rows_out) — the fullsize default-problem path; SMALL_ENV's S=6 is
+    sparse and takes the 4-D pieces branch instead."""
+    env = dict(SMALL_ENV, NR_STATIONS="5", NR_TIMESLOTS="4",
+               OUTPUT_PATH=str(tmp_path), NR_WINDOWS="2")
+    proc = _run(["pipeline", "--version", "pallas_v6"], extra_env=env,
+                timeout=600)
+    assert proc.returncode == 0, proc.stderr
+    assert list(tmp_path.glob("*pipeline_pallas_v6-tpu.csv"))
+
+
+@pytest.mark.slow
 def test_cli_pipeline_fused_odd_rowsize_falls_back(tmp_path):
     """SUBGRID_SIZE=12 → P·N² = 576, not a multiple of 1024: the pieces
     runner must decline (returning the staged_runner fallback) instead
