@@ -107,6 +107,66 @@ def _bench_degridder(params, obs, harness, mvis):
     return {}
 
 
+def _bench_pipeline(params, harness, mvis):
+    """Time the end-to-end gridded pipeline (fused-pieces kernel →
+    range grid-add, the `pipeline` CLI default): the framework's
+    production composition, reported alongside the bare-kernel
+    headline. Best-effort — returns {} on any failure or when the
+    problem's grid-add plan is not tile-path (the fused rows form is
+    tile-path only)."""
+    import jax
+    import numpy as np
+
+    from idg_tpu.data import make_perf_observation
+    from idg_tpu.ops.api import _resolve, staged_gridder_pieces_runner
+    from idg_tpu.ops.grid import (plan_grid_add_ranges,
+                                  sort_observation_blocks,
+                                  subgrids_to_grid_ranges, tile_pad_rows)
+    from idg_tpu.utils.timing import time_kernel
+
+    try:
+        g, n = params.grid_size, params.subgrid_size
+        if g % n:
+            return {}
+        obs = make_perf_observation(params)
+        obs, _ = sort_observation_blocks(obs, g, n)
+        md = obs.metadata
+        plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
+        oyx = np.stack([
+            (np.asarray(md.coord_y).astype(np.int64) % g % n),
+            (np.asarray(md.coord_x).astype(np.int64) % g % n),
+        ], axis=-1)
+        if plan.nbp > 2 * oyx.shape[0]:
+            return {}
+        version, w_rank = _resolve("gridder", "pallas_v6", params, obs,
+                                   None)
+        pfn, pargs, version = staged_gridder_pieces_runner(
+            params, obs, version, oyx, w_rank=w_rank,
+            pad_rows=tile_pad_rows(plan),
+        )
+        if pfn is None:
+            return {}
+        cx = jax.device_put(md.coord_x)
+        cy = jax.device_put(md.coord_y)
+        gfn = jax.jit(lambda t: subgrids_to_grid_ranges(
+            None, cx, cy, g, apply_fft=True, plan=plan, tiles_pair=t))
+
+        def pass_fn(*a):
+            return gfn(pfn(*a))
+
+        timing = time_kernel(pass_fn, *pargs, harness=harness)
+        mvis_per_s = mvis / timing.seconds
+        return {
+            "pipeline_metric": f"pipeline_{version}_throughput",
+            "pipeline_value": round(mvis_per_s, 2),
+            "pipeline_unit": "MVis/s",
+        }
+    except Exception as exc:  # noqa: BLE001 — headline must still print
+        print(f"bench: pipeline skipped ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     from idg_tpu.cli import _honor_platform_env
 
@@ -184,6 +244,7 @@ def main() -> None:
         ),
     }
     line.update(_bench_degridder(params, obs, harness, mvis))
+    line.update(_bench_pipeline(params, harness, mvis))
     print(json.dumps(line))
 
 
