@@ -107,49 +107,30 @@ def _bench_degridder(params, obs, harness, mvis):
     return {}
 
 
-def _bench_pipeline(params, harness, mvis):
+def _bench_pipeline(params, obs, harness, mvis):
     """Time the end-to-end gridded pipeline (fused-pieces kernel →
-    range grid-add, the `pipeline` CLI default): the framework's
-    production composition, reported alongside the bare-kernel
-    headline. Best-effort — returns {} on any failure or when the
-    problem's grid-add plan is not tile-path (the fused rows form is
-    tile-path only)."""
-    import jax
-    import numpy as np
-
-    from idg_tpu.data import make_perf_observation
-    from idg_tpu.ops.api import _resolve, staged_gridder_pieces_runner
-    from idg_tpu.ops.grid import (plan_grid_add_ranges,
-                                  sort_observation_blocks,
-                                  subgrids_to_grid_ranges, tile_pad_rows)
+    range grid-add, the `pipeline` CLI default) through the SAME
+    composition recipe the CLI uses (api.gridded_pipeline_parts — one
+    source for the tile gate / padding / roll offsets). Best-effort —
+    returns {} on any failure or when the resolved version has no fused
+    form. Reuses main()'s observation (only the host-side block sort is
+    repeated)."""
+    from idg_tpu.ops.api import _resolve, gridded_pipeline_parts
+    from idg_tpu.ops.grid import sort_observation_blocks
     from idg_tpu.utils.timing import time_kernel
 
     try:
         g, n = params.grid_size, params.subgrid_size
         if g % n:
             return {}
-        obs = make_perf_observation(params)
-        obs, _ = sort_observation_blocks(obs, g, n)
-        md = obs.metadata
-        plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
-        oyx = np.stack([
-            (np.asarray(md.coord_y).astype(np.int64) % g % n),
-            (np.asarray(md.coord_x).astype(np.int64) % g % n),
-        ], axis=-1)
-        if plan.nbp > 2 * oyx.shape[0]:
-            return {}
-        version, w_rank = _resolve("gridder", "pallas_v6", params, obs,
-                                   None)
-        pfn, pargs, version = staged_gridder_pieces_runner(
-            params, obs, version, oyx, w_rank=w_rank,
-            pad_rows=tile_pad_rows(plan),
+        obs_sorted, _ = sort_observation_blocks(obs, g, n)
+        version, w_rank = _resolve("gridder", "pallas_v6", params,
+                                   obs_sorted, None)
+        pfn, pargs, gfn, version, _ = gridded_pipeline_parts(
+            params, obs_sorted, version, w_rank=w_rank
         )
         if pfn is None:
             return {}
-        cx = jax.device_put(md.coord_x)
-        cy = jax.device_put(md.coord_y)
-        gfn = jax.jit(lambda t: subgrids_to_grid_ranges(
-            None, cx, cy, g, apply_fft=True, plan=plan, tiles_pair=t))
 
         def pass_fn(*a):
             return gfn(pfn(*a))
@@ -244,7 +225,7 @@ def main() -> None:
         ),
     }
     line.update(_bench_degridder(params, obs, harness, mvis))
-    line.update(_bench_pipeline(params, harness, mvis))
+    line.update(_bench_pipeline(params, obs, harness, mvis))
     print(json.dumps(line))
 
 

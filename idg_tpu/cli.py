@@ -741,30 +741,16 @@ def cmd_pipeline(args) -> int:
         kfn = kernel_args = None
         if not args.no_fuse:
             # fused-pieces path: the kernel epilogue applies the roll
-            # phases + folded-shift iDFT on the MXU and emits row-major
-            # pieces — no XLA producer dots, no S-minor boundary
-            # relayout (hardware A/B: the boundary alternatives measured
-            # 97.3-97.8 ms vs 91.5 ms of parts, scripts/probes/
-            # _tpu_r4_pipeab.py)
-            from .ops.api import staged_gridder_pieces_runner
-            from .ops.grid import tile_pad_rows
+            # phases + folded-shift iDFT on the MXU and emits the pieces
+            # straight into the range grid-add — zero-copy rows form on
+            # tile-path plans, 4-D on sparse ones (the shared recipe,
+            # also used by bench.py)
+            from .ops.api import gridded_pipeline_parts
 
-            oyx = np.stack([
-                (np.asarray(md.coord_y).astype(np.int64) % g % n),
-                (np.asarray(md.coord_x).astype(np.int64) % g % n),
-            ], axis=-1)
-            # tile-path plans: pre-pad the staging so the kernel emits
-            # the range grid-add's row form directly (zero-copy
-            # boundary); sparse plans keep the 4-D pieces form
-            pr = tile_pad_rows(plan) if plan.nbp <= 2 * oyx.shape[0] \
-                else None
-            kfn, kernel_args, rversion = staged_gridder_pieces_runner(
-                params, obs, rversion, oyx, w_rank=rw_rank, pad_rows=pr
-            )
+            kfn, kernel_args, gfn_t, rversion, plan = \
+                gridded_pipeline_parts(params, obs, rversion,
+                                       w_rank=rw_rank, plan=plan)
         if kfn is not None:
-            gfn_t = jax.jit(lambda t: subgrids_to_grid_ranges(
-                None, cx, cy, g, apply_fft=True, plan=plan, tiles_pair=t))
-
             def pass_fn(*a):
                 return gfn_t(kfn(*a))
         else:

@@ -512,6 +512,44 @@ def staged_runner(workload: str, version: str, params: IDGParams, obs: Observati
     return jit_fn, (params, sobs, sub_pair)
 
 
+def gridded_pipeline_parts(params: IDGParams, obs_sorted: Observation,
+                           version: str = "pallas_v6", w_rank=None,
+                           plan=None):
+    """Fused gridded-pipeline composition, the ONE source for the recipe
+    shared by the `pipeline` CLI and bench.py: per-subgrid roll offsets
+    from the block-sorted metadata, the tile-path gate (sparse plans
+    keep the 4-D pieces form; tile paths pre-pad for the zero-copy
+    rows form), the pieces runner, and the jitted range grid-add
+    consumer. `obs_sorted` MUST be block-sorted
+    (grid.sort_observation_blocks).
+
+    Returns (pfn, pargs, gfn, resolved_version, plan); pfn is None when
+    the resolved version has no fused form (caller falls back to the
+    staged_runner + XLA producer path)."""
+    from .grid import (plan_grid_add_ranges, subgrids_to_grid_ranges,
+                       tile_pad_rows)
+
+    g, n = params.grid_size, params.subgrid_size
+    md = obs_sorted.metadata
+    if plan is None:
+        plan = plan_grid_add_ranges(md.coord_x, md.coord_y, g, n)
+    oyx = np.stack([
+        (np.asarray(md.coord_y).astype(np.int64) % g % n),
+        (np.asarray(md.coord_x).astype(np.int64) % g % n),
+    ], axis=-1)
+    pr = tile_pad_rows(plan) if plan.nbp <= 2 * oyx.shape[0] else None
+    pfn, pargs, version = staged_gridder_pieces_runner(
+        params, obs_sorted, version, oyx, w_rank=w_rank, pad_rows=pr
+    )
+    if pfn is None:
+        return None, None, None, version, plan
+    cx = jax.device_put(md.coord_x)
+    cy = jax.device_put(md.coord_y)
+    gfn = jax.jit(lambda t: subgrids_to_grid_ranges(
+        None, cx, cy, g, apply_fft=True, plan=plan, tiles_pair=t))
+    return pfn, pargs, gfn, version, plan
+
+
 def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
                                  version: str, oyx, w_rank=None,
                                  pad_rows=None):
@@ -565,10 +603,10 @@ def staged_gridder_pieces_runner(params: IDGParams, obs: Observation,
     oyx_np = np.asarray(oyx)
     if pad_rows is not None:
         from .pallas.common import pad_staged
+        from .pallas.gridder import pieces_pad_rows
 
-        batch = 4  # gridder_pallas_v6_pieces default step batch
         s = stg.uvw.shape[0]
-        r = -(-(s + pad_rows) // batch) * batch
+        r = pieces_pad_rows(s, pad_rows)
         stg = pad_staged(stg, r)
         jax.block_until_ready(jax.tree_util.tree_leaves(stg))
         oyx_np = np.concatenate(
@@ -784,8 +822,10 @@ def staged_degridder_pieces_chunk_consumers(params: IDGParams,
     Returns (None, None, resolved_version) when the resolved kernel has
     no fused prologue (non-polstack rungs) so callers can fall back to
     the producer path."""
+    from .pallas.degridder import ROWS_IN_VERSIONS
+
     version_r, w_rank_r = _resolve("degridder", version, params, obs, w_rank)
-    if version_r not in ("pallas_v7", "pallas_v8"):
+    if version_r not in ROWS_IN_VERSIONS:
         return None, None, version_r
     run_fn, chunks, starts, chunk, version_r = _degridder_staged_chunks(
         params, obs, version_r, w_rank_r, align

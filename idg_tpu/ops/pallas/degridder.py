@@ -491,6 +491,12 @@ def _degridder_sep_recur(params, sobs, subgrids, w_rank, precisions, interpret,
 # chunked paths at test problem sizes.
 MAX_CHUNK = get_env_var("IDG_MAX_CHUNK", 8192)
 
+# polstack-batch rungs whose kernels auto-detect row-form ([S, N, N·P])
+# subgrids/pieces (rows_in) — the single source for the callers that
+# pre-convert boundary layouts (parallel.sharded.shard_staged_inputs,
+# ops.api.staged_degridder_pieces_chunk_consumers)
+ROWS_IN_VERSIONS = ("pallas_v7", "pallas_v8")
+
 
 def _chunked(run_one, params, stg, subgrids, *a, **kw):
     """Split very large subgrid batches into multiple pallas_calls.

@@ -1151,8 +1151,20 @@ def gridder_pallas_v6_staged(params, stg, interpret=None, w_rank: int = 2,
     )
 
 
+PIECES_STEP_BATCH = 4  # gridder_pallas_v6_pieces default step batch
+
+
+def pieces_pad_rows(s: int, pad_rows: int) -> int:
+    """Batch-rounded total row count the fused pieces kernel emits when
+    staging is pre-padded for rows_out (api.staged_gridder_pieces_runner
+    pad_rows=...): the single source for the rounding the runner, the
+    hardware validation, and the unit tests must agree on."""
+    return -(-(s + pad_rows) // PIECES_STEP_BATCH) * PIECES_STEP_BATCH
+
+
 def gridder_pallas_v6_pieces(params, stg, oyx, interpret=None,
-                             w_rank: int = 2, batch: int = 4,
+                             w_rank: int = 2,
+                             batch: int = PIECES_STEP_BATCH,
                              precisions=None, rows_out: bool = False):
     """v6 with the grid-stage producer fused into the kernel epilogue:
     returns phase-rolled iDFT PIECES ([S, P, N, N] row-major) ready for

@@ -282,7 +282,9 @@ def shard_staged_inputs(params: IDGParams, sobs: SplitObservation,
     if subgrids is not None:
         spair = distribute_subgrid_pair(
             split_complex(subgrids), mesh, s_pad)
-        if workload == "degridder" and version in ("pallas_v7", "pallas_v8"):
+        from ..ops.pallas.degridder import ROWS_IN_VERSIONS
+
+        if workload == "degridder" and version in ROWS_IN_VERSIONS:
             # rows form [S, N, N·P] (bit-identical input data; the
             # polstack-batch kernels auto-detect it): the 4-D pair's
             # (N, N) minors force a padded tiled jit-boundary layout and

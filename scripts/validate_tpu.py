@@ -250,7 +250,8 @@ def fused_rows_section():
     from idg_tpu.ops.pallas import STAGED
     from idg_tpu.ops.pallas.common import pad_staged
     from idg_tpu.ops.pallas.degridder import degridder_pallas_v7_staged
-    from idg_tpu.ops.pallas.gridder import gridder_pallas_v6_pieces
+    from idg_tpu.ops.pallas.gridder import (gridder_pallas_v6_pieces,
+                                            pieces_pad_rows)
     from idg_tpu.types import split_observation
 
     rows = []
@@ -284,7 +285,7 @@ def fused_rows_section():
         sub = run_fn(params, stg)
         exp = subgrids_to_grid_ranges(sub, md.coord_x, md.coord_y, g,
                                       apply_fft=True, plan=plan)
-        r = -(-(s + tile_pad_rows(plan)) // 4) * 4
+        r = pieces_pad_rows(s, tile_pad_rows(plan))
         rpieces = gridder_pallas_v6_pieces(
             params, pad_staged(stg, r),
             np.concatenate([oyx, np.zeros((r - s, 2), oyx.dtype)]),
@@ -488,7 +489,7 @@ def main() -> int:
         "The pieces cross the stage boundary in the kernels' native",
         "[R, N, N·P] row form (exact (8,128) tiles; no XLA op at the",
         "boundary), vs the producer compositions — mid-size tile-path",
-        "problem (grid 1024², S=900; the check problem's grid-add plan",
+        "problem (grid 1024², S=546; the check problem's grid-add plan",
         "is sparse).",
         "",
         "| composition | result | error |",

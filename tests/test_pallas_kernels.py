@@ -407,10 +407,11 @@ def test_gridder_fused_pieces_matches_producer(case):
             # pad_rows=...)
             from idg_tpu.ops.grid import tile_pad_rows
             from idg_tpu.ops.pallas.common import pad_staged
+            from idg_tpu.ops.pallas.gridder import pieces_pad_rows
 
             plan = plan_grid_add_ranges(cx, cy, g, n)
             s = cx.shape[0]
-            r = -(-(s + tile_pad_rows(plan)) // 4) * 4
+            r = pieces_pad_rows(s, tile_pad_rows(plan))
             got_rows = gridder_pallas_v6_pieces(
                 params, pad_staged(stg, r),
                 np.concatenate([oyx, np.zeros((r - s, 2), oyx.dtype)]),
