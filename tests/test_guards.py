@@ -229,7 +229,12 @@ def test_gridder_nonzero_w(version, w_problem):
 @pytest.mark.parametrize(
     "version",
     ["xla_reference", "xla_v2", "xla_v4",
-     "pallas_v1", "pallas_v2", "pallas_v4", "pallas_v5", "pallas_v6", "pallas_v7"],
+     "pallas_v1", "pallas_v2", "pallas_v4",
+     # v5 duplicates v6's guard path (same recurrence family, same rank
+     # handling) at ~7 s of interpret trace — slow tier keeps it; the
+     # fast tier keeps v6 (recurrence) and v7 (kmerge flagship)
+     pytest.param("pallas_v5", marks=pytest.mark.slow),
+     "pallas_v6", "pallas_v7"],
 )
 def test_degridder_nonzero_w(version, w_problem):
     params, obs, sub = w_problem
